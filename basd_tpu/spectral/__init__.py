@@ -1,0 +1,7 @@
+from basd_tpu.spectral.ops import (  # noqa: F401
+    grassmann_basis,
+    marchenko_pastur_rank,
+    masked_principal_angle_distance,
+    nuclear_norm,
+    svdvals_psd,
+)

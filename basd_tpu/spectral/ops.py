@@ -1,0 +1,221 @@
+"""TPU-native spectral primitives: the compute core of the framework.
+
+Re-designs the reference's ~80 host-dispatched `torch.linalg` calls per step
+(SURVEY.md section 3.2; reference `src/losses/layer_selector.py`,
+`src/losses/relational.py:48`) as batched, static-shape, jit-compatible XLA
+ops built around one idea: **every SVD-class quantity is derived from a
+symmetric eigendecomposition of a Gram matrix.** The Gram reductions
+(D x M)@(M x D) are large MXU matmuls, and the eigh operates on small D x D
+matrices that batch across teacher layers / extraction points — instead of
+tall-skinny SVDs that XLA lowers poorly on TPU.
+
+Static shapes: Marchenko-Pastur ranks are data-dependent, so instead of the
+reference's dynamic top-k slicing (`layer_selector.py:97`), subspaces keep
+all D basis vectors and a *rank mask* zeroes spectral weights beyond the MP
+rank. Padding the principal-angle spectrum with zeros is exact: the masked
+cross-basis matrix's nonzero singular values equal those of the top-k block,
+the extra zeros pair with zero spectral weights, and the weighted distance is
+unchanged (verified against the dynamic-shape oracle in
+`basd_tpu/spectral/reference.py`).
+
+Differentiability: gradients flow through the student-side eigenbasis and
+through the principal-angle / nuclear-norm spectra exactly as in the
+reference (the Procrustes nuclear norm sits in the autograd graph,
+`relational.py:47-48`). `svdvals_psd` and `nuclear_norm` carry custom VJPs
+using the well-defined subgradient  d sigma_j = u_j^T dA v_j,  which stays
+finite for repeated/zero singular values where the generic SVD JVP blows up.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+def _eigh_desc(gram: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric eigendecomposition, eigenvalues descending.
+
+    Returns (eigvals (..., d), eigvecs (..., d, d)) with eigvecs[..., :, i]
+    the i-th eigenvector.
+    """
+    gram = (gram + jnp.swapaxes(gram, -1, -2)) * 0.5
+    w, v = jnp.linalg.eigh(gram)
+    return w[..., ::-1], v[..., ::-1]
+
+
+def centered_gram(z: jax.Array) -> jax.Array:
+    """(..., M, D) -> (..., D, D) fp32 Gram of the column-centered matrix."""
+    z = z.astype(_F32)
+    zc = z - jnp.mean(z, axis=-2, keepdims=True)
+    return jnp.einsum("...md,...me->...de", zc, zc, preferred_element_type=_F32)
+
+
+def grassmann_basis(z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Full right-singular basis + singular values of the centered matrix.
+
+    Reference `_grassmann_subspace` (`layer_selector.py:23-37`) returns the
+    top-k slice; here we return all D directions (descending) and let the
+    caller apply a rank mask. basis[..., :, i] is the i-th principal
+    direction; svals are the singular values of the centered z (not /M).
+    """
+    eigvals, basis = _eigh_desc(centered_gram(z))
+    svals = jnp.sqrt(jnp.clip(eigvals, 0.0, None))
+    return basis, svals
+
+
+def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
+    """MP threshold rank of (..., M, D) features, as a traced int32.
+
+    cov = X^T X / M; sigma^2 = median eigenvalue;
+    lambda_+ = sigma^2 (1 + sqrt(D/M))^2; rank = #{eig > lambda_+}.
+    (Reference `marchenko_pastur_rank`, `layer_selector.py:8-20`. The jit
+    path always uses the D x D Gram — in the training hot loop M = B*N >> D;
+    the numpy oracle also covers the M < D branch for host-side use.)
+    """
+    m, d = x.shape[-2], x.shape[-1]
+    x = x.astype(_F32)
+    cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32) / m
+    cov = (cov + jnp.swapaxes(cov, -1, -2)) * 0.5
+    eigvals = jnp.linalg.eigvalsh(cov)
+    sigma2 = jnp.median(eigvals, axis=-1)
+    q = d / m
+    lambda_plus = sigma2 * (1.0 + q**0.5) ** 2
+    return jnp.sum(eigvals > lambda_plus[..., None], axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Singular values with a subgradient-safe custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _svdvals_fwd_math(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """sigma (desc) and left-singular basis U of (..., m, n) with m <= n."""
+    gram = jnp.einsum("...ij,...kj->...ik", a, a, preferred_element_type=_F32)
+    eigvals, u = _eigh_desc(gram)
+    sigma = jnp.sqrt(jnp.clip(eigvals, 0.0, None))
+    return sigma, u
+
+
+@jax.custom_vjp
+def _svdvals_m_le_n(a: jax.Array) -> jax.Array:
+    return _svdvals_fwd_math(a)[0]
+
+
+def _svdvals_fwd(a):
+    sigma, u = _svdvals_fwd_math(a)
+    return sigma, (a, sigma, u)
+
+
+def _svdvals_bwd(res, g):
+    a, sigma, u = res
+    # d sigma_j = u_j^T dA v_j with v_j = A^T u_j / sigma_j
+    # => grad_A = U diag(g / sigma) U^T A   (zero coefficient where sigma ~ 0
+    # is a valid subgradient choice and keeps gradients finite).
+    scale = jnp.max(sigma, axis=-1, keepdims=True)
+    safe = sigma > (1e-6 * jnp.maximum(scale, 1e-30))
+    coef = jnp.where(safe, g / jnp.where(safe, sigma, 1.0), 0.0)
+    grad = jnp.einsum(
+        "...ik,...k,...jk,...jn->...in", u, coef, u, a,
+        preferred_element_type=_F32,
+    )
+    return (grad.astype(a.dtype),)
+
+
+_svdvals_m_le_n.defvjp(_svdvals_fwd, _svdvals_bwd)
+
+
+def svdvals_psd(a: jax.Array) -> jax.Array:
+    """Singular values (descending) of (..., m, n) via eigh of the Gram.
+
+    Named for the mechanism: the spectrum is recovered from the PSD Gram
+    matrix of the smaller side. Replaces `torch.linalg.svdvals`
+    (`layer_selector.py:99`) with an MXU matmul + batched d x d eigh, and is
+    differentiable everywhere via the subgradient VJP above.
+    """
+    m, n = a.shape[-2], a.shape[-1]
+    if m <= n:
+        return _svdvals_m_le_n(a)
+    return _svdvals_m_le_n(jnp.swapaxes(a, -1, -2))
+
+
+@jax.custom_vjp
+def nuclear_norm(c: jax.Array) -> jax.Array:
+    """Nuclear norm of (..., m, n): sum of singular values.
+
+    Replaces `torch.linalg.matrix_norm(ord="nuc")` in the Procrustes loss
+    (`relational.py:48`). Differentiable with grad = U V^T computed from the
+    small-side eigendecomposition; near-zero singular values get a zero
+    subgradient (|grad| <= 1 remains valid).
+    """
+    m, n = c.shape[-2], c.shape[-1]
+    a = c if m <= n else jnp.swapaxes(c, -1, -2)
+    sigma, _ = _svdvals_fwd_math(a)
+    return jnp.sum(sigma, axis=-1)
+
+
+def _nuc_fwd(c):
+    m, n = c.shape[-2], c.shape[-1]
+    transposed = m > n
+    a = c if not transposed else jnp.swapaxes(c, -1, -2)
+    sigma, u = _svdvals_fwd_math(a)
+    return jnp.sum(sigma, axis=-1), (a, sigma, u, transposed)
+
+
+def _nuc_bwd(res, g):
+    a, sigma, u, transposed = res
+    scale = jnp.max(sigma, axis=-1, keepdims=True)
+    safe = sigma > (1e-6 * jnp.maximum(scale, 1e-30))
+    coef = jnp.where(safe, 1.0 / jnp.where(safe, sigma, 1.0), 0.0)
+    grad = jnp.einsum(
+        "...ik,...k,...jk,...jn->...in", u, coef, u, a,
+        preferred_element_type=_F32,
+    )
+    grad = grad * g[..., None, None]
+    if transposed:
+        grad = jnp.swapaxes(grad, -1, -2)
+    return (grad,)
+
+
+nuclear_norm.defvjp(_nuc_fwd, _nuc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Masked principal angles
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def masked_principal_angle_distance(
+    basis_s: jax.Array,  # (..., Dp, D) student basis columns (grad flows)
+    basis_t: jax.Array,  # (..., Dp, D) teacher basis columns (stop-grad'd)
+    svals_t: jax.Array,  # (..., D) teacher singular values, descending
+    rank: jax.Array,  # (...,) int32 MP ranks
+) -> jax.Array:
+    """Spectrally-weighted squared Grassmannian distance with rank masking.
+
+    Exactly reproduces the reference's dynamic-k computation
+    (`layer_selector.py:94-105`): pad-with-zeros beyond rank k pairs zero
+    singular values with zero spectral weights, leaving the weighted mean of
+    squared angles unchanged.
+    """
+    d = basis_s.shape[-1]
+    idx = jnp.arange(d)
+    mask = (idx[None, :] < rank[..., None]).astype(_F32)  # (..., D)
+
+    cross = jnp.einsum(
+        "...di,...dj->...ij", basis_s.astype(_F32), basis_t.astype(_F32),
+        preferred_element_type=_F32,
+    )
+    cross = cross * mask[..., :, None] * mask[..., None, :]
+    sigma = svdvals_psd(cross)
+
+    eps = jnp.finfo(_F32).eps
+    theta = jnp.arccos(jnp.clip(sigma, None, 1.0 - eps))
+
+    sw = svals_t * mask
+    sw_sum = jnp.maximum(jnp.sum(sw, axis=-1), jnp.finfo(_F32).tiny)
+    return jnp.sum(sw * theta**2, axis=-1) / sw_sum

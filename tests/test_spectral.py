@@ -1,0 +1,206 @@
+"""Golden-value tests: TPU spectral ops vs dynamic-shape numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basd_tpu.spectral import (
+    grassmann_basis,
+    marchenko_pastur_rank,
+    masked_principal_angle_distance,
+    nuclear_norm,
+    svdvals_psd,
+)
+from basd_tpu.spectral.reference import (
+    grassmann_subspace_np,
+    marchenko_pastur_rank_np,
+    nuclear_norm_np,
+    principal_angle_distance_np,
+)
+
+
+def _low_rank_plus_noise(rng, m, d, rank, noise=0.05):
+    u = rng.normal(size=(m, rank))
+    v = rng.normal(size=(rank, d))
+    scales = np.linspace(3.0, 1.0, rank)[:, None]
+    return (u * scales.T) @ v / np.sqrt(rank) + noise * rng.normal(size=(m, d))
+
+
+class TestMarchenkoPastur:
+    @pytest.mark.parametrize("true_rank", [2, 5, 10])
+    def test_matches_numpy_oracle(self, true_rank):
+        rng = np.random.default_rng(0)
+        x = _low_rank_plus_noise(rng, 512, 32, true_rank).astype(np.float32)
+        got = int(marchenko_pastur_rank(jnp.asarray(x)))
+        want = marchenko_pastur_rank_np(x)
+        assert got == want
+
+    def test_detects_planted_rank(self):
+        rng = np.random.default_rng(1)
+        x = _low_rank_plus_noise(rng, 1024, 48, 7, noise=0.02).astype(np.float32)
+        assert int(marchenko_pastur_rank(jnp.asarray(x))) == 7
+
+    def test_batched(self):
+        rng = np.random.default_rng(2)
+        xs = np.stack(
+            [_low_rank_plus_noise(rng, 256, 24, r) for r in (3, 6)]
+        ).astype(np.float32)
+        ranks = marchenko_pastur_rank(jnp.asarray(xs))
+        assert ranks.shape == (2,)
+        for i, x in enumerate(xs):
+            assert int(ranks[i]) == marchenko_pastur_rank_np(x)
+
+    def test_orthogonal_projection_invariance(self):
+        # MP rank is invariant under right-multiplication by an orthogonal
+        # matrix (property test from SURVEY.md section 4).
+        rng = np.random.default_rng(3)
+        x = _low_rank_plus_noise(rng, 512, 32, 5).astype(np.float32)
+        q, _ = np.linalg.qr(rng.normal(size=(32, 32)))
+        r1 = int(marchenko_pastur_rank(jnp.asarray(x)))
+        r2 = int(marchenko_pastur_rank(jnp.asarray(x @ q.astype(np.float32))))
+        assert r1 == r2
+
+
+class TestGrassmannBasis:
+    def test_singular_values_match_svd(self):
+        rng = np.random.default_rng(4)
+        z = rng.normal(size=(300, 24)).astype(np.float32)
+        _, svals = grassmann_basis(jnp.asarray(z))
+        zc = z - z.mean(0, keepdims=True)
+        want = np.linalg.svd(zc.astype(np.float64), compute_uv=False)
+        np.testing.assert_allclose(np.asarray(svals), want, rtol=1e-3)
+
+    def test_subspace_matches_svd(self):
+        rng = np.random.default_rng(5)
+        z = _low_rank_plus_noise(rng, 400, 20, 6).astype(np.float32)
+        basis, _ = grassmann_basis(jnp.asarray(z))
+        k = 6
+        want_basis, _ = grassmann_subspace_np(z, k)
+        got = np.asarray(basis[:, :k])
+        # compare projection operators (basis sign/rotation-invariant)
+        np.testing.assert_allclose(
+            got @ got.T, want_basis @ want_basis.T, atol=5e-3
+        )
+
+    def test_descending_order(self):
+        rng = np.random.default_rng(6)
+        z = rng.normal(size=(100, 16)).astype(np.float32)
+        _, svals = grassmann_basis(jnp.asarray(z))
+        s = np.asarray(svals)
+        assert np.all(np.diff(s) <= 1e-5)
+
+
+class TestSvdvals:
+    def test_values(self):
+        rng = np.random.default_rng(7)
+        a = rng.normal(size=(12, 20)).astype(np.float32)
+        got = np.asarray(svdvals_psd(jnp.asarray(a)))
+        want = np.linalg.svd(a, compute_uv=False)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
+
+    def test_tall_matrix(self):
+        rng = np.random.default_rng(8)
+        a = rng.normal(size=(20, 12)).astype(np.float32)
+        got = np.asarray(svdvals_psd(jnp.asarray(a)))
+        want = np.linalg.svd(a, compute_uv=False)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
+
+    def test_gradient_matches_analytic(self):
+        # d(sum w_j sigma_j)/dA = U diag(w) V^T (distinct singular values)
+        rng = np.random.default_rng(9)
+        a = rng.normal(size=(6, 9)).astype(np.float32)
+        w = rng.normal(size=(6,)).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(svdvals_psd(x) * w)
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(a)))
+        u, _, vt = np.linalg.svd(a, full_matrices=False)
+        want = (u * w) @ vt
+        np.testing.assert_allclose(g, want, atol=2e-2)
+
+    def test_gradient_finite_with_zero_singular_values(self):
+        # rank-deficient input: generic SVD JVPs produce NaN here.
+        a = np.zeros((5, 8), dtype=np.float32)
+        a[0, 0] = 1.0
+
+        def f(x):
+            return jnp.sum(svdvals_psd(x))
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(a)))
+        assert np.all(np.isfinite(g))
+
+
+class TestNuclearNorm:
+    @pytest.mark.parametrize("shape", [(8, 14), (14, 8), (3, 8, 14)])
+    def test_values(self, shape):
+        rng = np.random.default_rng(10)
+        c = rng.normal(size=shape).astype(np.float32)
+        got = np.asarray(nuclear_norm(jnp.asarray(c)))
+        want = np.linalg.svd(c, compute_uv=False).sum(axis=-1)
+        np.testing.assert_allclose(got, want, rtol=5e-3)
+
+    def test_gradient_is_orthogonal_factor(self):
+        # For full-rank C with distinct singular values,
+        # d||C||_nuc / dC = U V^T, which has singular values all 1.
+        rng = np.random.default_rng(11)
+        c = rng.normal(size=(6, 10)).astype(np.float32)
+        g = np.asarray(jax.grad(lambda x: jnp.sum(nuclear_norm(x)))(jnp.asarray(c)))
+        sv = np.linalg.svd(g, compute_uv=False)
+        np.testing.assert_allclose(sv, np.ones(6), atol=1e-3)
+
+    def test_gradient_finite_rank_deficient(self):
+        c = np.zeros((4, 7), dtype=np.float32)
+        c[0, 0] = 2.0
+        g = np.asarray(jax.grad(lambda x: jnp.sum(nuclear_norm(x)))(jnp.asarray(c)))
+        assert np.all(np.isfinite(g))
+        np.testing.assert_allclose(nuclear_norm_np(c), 2.0)
+
+
+class TestMaskedPrincipalAngles:
+    def test_matches_dynamic_slicing_oracle(self):
+        rng = np.random.default_rng(12)
+        d = 16
+        for k in (2, 5, 9):
+            zs = rng.normal(size=(200, d)).astype(np.float32)
+            zt = _low_rank_plus_noise(rng, 200, d, k).astype(np.float32)
+            basis_s, _ = grassmann_basis(jnp.asarray(zs))
+            basis_t, svals_t = grassmann_basis(jnp.asarray(zt))
+
+            got = masked_principal_angle_distance(
+                basis_s[None], basis_t[None], svals_t[None],
+                jnp.asarray([k], dtype=jnp.int32),
+            )
+
+            us_np, _ = grassmann_subspace_np(zs, k)
+            ut_np, sw_np = grassmann_subspace_np(zt, k)
+            want = principal_angle_distance_np(us_np, ut_np, sw_np)
+            np.testing.assert_allclose(float(got[0]), want, rtol=5e-3, atol=1e-4)
+
+    def test_identical_subspace_distance_zero(self):
+        rng = np.random.default_rng(13)
+        z = _low_rank_plus_noise(rng, 300, 12, 4).astype(np.float32)
+        basis, svals = grassmann_basis(jnp.asarray(z))
+        d2 = masked_principal_angle_distance(
+            basis[None], basis[None], svals[None],
+            jnp.asarray([4], dtype=jnp.int32),
+        )
+        assert float(d2[0]) < 1e-4
+
+    def test_gradient_flows_to_student_basis(self):
+        rng = np.random.default_rng(14)
+        zs = rng.normal(size=(100, 10)).astype(np.float32)
+        zt = rng.normal(size=(100, 10)).astype(np.float32)
+        basis_t, svals_t = grassmann_basis(jnp.asarray(zt))
+
+        def f(zs_arr):
+            basis_s, _ = grassmann_basis(zs_arr)
+            return masked_principal_angle_distance(
+                basis_s[None], basis_t[None], svals_t[None],
+                jnp.asarray([3], dtype=jnp.int32),
+            )[0]
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(zs)))
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).max() > 0
