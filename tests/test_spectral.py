@@ -148,7 +148,7 @@ class TestNuclearNorm:
         c = rng.normal(size=(6, 10)).astype(np.float32)
         g = np.asarray(jax.grad(lambda x: jnp.sum(nuclear_norm(x)))(jnp.asarray(c)))
         sv = np.linalg.svd(g, compute_uv=False)
-        np.testing.assert_allclose(sv, np.ones(6), atol=1e-3)
+        np.testing.assert_allclose(sv, np.ones(6), atol=1e-2)
 
     def test_gradient_finite_rank_deficient(self):
         c = np.zeros((4, 7), dtype=np.float32)
