@@ -1,0 +1,85 @@
+"""Combined BASD objective: CE + mean Procrustes, UW-SO balanced.
+
+Reference `BASDLoss` (`src/losses/combined.py:17-85`): extraction points are
+evenly spaced student layers including first and last; the Procrustes term is
+averaged over extraction points; CE uses label smoothing over mixup/cutmix
+soft targets; the two terms are combined with UW-SO inverse-loss weighting
+w_i = (1/L_i.detach()) / sum_j (1/L_j.detach())  (Kirchdorfer et al. 2024).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.losses.interpolate import align_token_count
+from basd_tpu.losses.procrustes import procrustes_loss
+from basd_tpu.losses.selector import SelectorState, select_and_mix
+
+
+def extraction_points(student_depth: int, num_points: int) -> tuple[int, ...]:
+    """Evenly-spaced block indices incl. first/last (reference
+    `combined.py:34-40`); a single point selects the last block."""
+    if num_points == 1:
+        return (student_depth - 1,)
+    return tuple(
+        round(i * (student_depth - 1) / (num_points - 1))
+        for i in range(num_points)
+    )
+
+
+def cross_entropy(
+    logits: jax.Array,  # (B, C) fp32
+    soft_targets: jax.Array,  # (B, C) probabilities (mixup/cutmix output)
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """torch `nn.CrossEntropyLoss(label_smoothing=ls)` semantics over
+    probability targets: -sum_c [(1-ls) t_c + ls/C] log softmax(z)_c."""
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = (1.0 - label_smoothing) * soft_targets + label_smoothing / c
+    return -jnp.mean(jnp.sum(t * logp, axis=-1))
+
+
+def uw_so_weights(losses: jax.Array) -> jax.Array:
+    """UW-SO: w_i = (1/L_i) / sum(1/L_j) on detached losses (reference
+    `combined.py:80-84`)."""
+    eps = jnp.finfo(jnp.float32).eps
+    inv = 1.0 / jnp.clip(jax.lax.stop_gradient(losses), eps, None)
+    return inv / jnp.sum(inv)
+
+
+def basd_loss(
+    selector: SelectorState,
+    student_logits: jax.Array,  # (B, C)
+    soft_targets: jax.Array,  # (B, C)
+    student_tokens: jax.Array,  # (P, B, N_s, D_s)
+    teacher_tokens: jax.Array,  # (L, B, N_t, D_t)
+    teacher_importance: jax.Array,  # (L, B, N_t)
+    *,
+    label_smoothing: float,
+) -> tuple[jax.Array, dict]:
+    """Full BASD objective (reference `BASDLoss.forward`,
+    `combined.py:48-85`). Returns (scalar loss, aux diagnostics)."""
+    n_s = student_tokens.shape[2]
+
+    ce = cross_entropy(student_logits, soft_targets, label_smoothing)
+
+    mixed_tokens, mixed_importance, aux = select_and_mix(
+        selector, student_tokens, teacher_tokens, teacher_importance
+    )
+
+    aligned = align_token_count(mixed_tokens, n_s)  # (P, B, N_s, D_t)
+
+    # batched over extraction points; mean matches the reference's
+    # stack(...).mean() over per-point losses (combined.py:69-76)
+    geo = jnp.mean(
+        jax.vmap(procrustes_loss)(student_tokens, aligned, mixed_importance)
+    )
+
+    losses = jnp.stack([ce, geo])
+    w = uw_so_weights(losses)
+    total = jnp.sum(w * losses)
+
+    aux.update({"ce_loss": ce, "geo_loss": geo, "uw_so_weights": w})
+    return total, aux

@@ -1,0 +1,140 @@
+"""Spectrally-adaptive Grassmannian layer selector — fully batched, one jit.
+
+The algorithmic core (reference `src/losses/layer_selector.py:40-152`),
+re-designed for TPU: where the reference dispatches ~80 host-side
+`torch.linalg` calls per step in Python loops over teacher layers and
+extraction points (SURVEY.md section 3.2), this implementation runs
+
+  * ONE batched (L, D_s, D_s) Gram + eigh for all teacher MP ranks,
+  * ONE batched (L, D_s, D_s) Gram + eigh for all teacher subspaces,
+  * ONE batched (P, D_s, D_s) Gram + eigh for all student subspaces,
+  * ONE batched (P, L, D_s, D_s) masked principal-angle spectrum,
+
+entirely inside the jitted train step. Data-dependent MP ranks become rank
+masks over full-width bases (exactness argued in `basd_tpu.spectral.ops`).
+
+Learnable state: P log-temperatures (softplus-positive), initialized so
+softplus(x) = 1 (reference `layer_selector.py:58-63`). Frozen state: random
+(semi-)orthogonal projections proj_s (D_s x D_s) and proj_t (D_s x D_t)
+(reference `layer_selector.py:51-56`).
+
+Gradient contract (matches the reference graph): teacher statistics are
+stop-gradient'd (`layer_selector.py:69,133` no_grad), while the student-side
+eigenbasis and the principal-angle spectrum ARE differentiated — gradients
+reach both the 4 temperatures and the student tokens through the softmax
+mixing weights.
+
+Under data-parallel sharding the Gram reductions contract over the global
+batch: GSPMD turns the (D, M)@(M, D) einsums into per-shard matmuls + psum
+over the data axis, so selector statistics are *global-batch exact* —
+strictly stronger than the reference under DDP, where each replica computes
+its own ranks/subspaces from the local batch (SURVEY.md section 5.8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from basd_tpu.spectral import (
+    grassmann_basis,
+    marchenko_pastur_rank,
+    masked_principal_angle_distance,
+)
+
+
+class SelectorState(NamedTuple):
+    log_temperatures: jax.Array  # (P,) learnable
+    proj_s: jax.Array  # (D_s, D_s) frozen random orthogonal
+    proj_t: jax.Array  # (D_s, D_t) frozen random semi-orthogonal
+
+
+def init_selector(
+    rng: jax.Array, num_extraction_points: int, student_dim: int, teacher_dim: int
+) -> SelectorState:
+    k_s, k_t = jax.random.split(rng)
+    ortho = jax.nn.initializers.orthogonal()
+    proj_s = ortho(k_s, (student_dim, student_dim), jnp.float32)
+    proj_t = ortho(k_t, (student_dim, teacher_dim), jnp.float32)
+    # softplus(log(e - 1)) == 1.0
+    log_temps = jnp.full(
+        (num_extraction_points,), jnp.log(jnp.e - 1.0), jnp.float32
+    )
+    return SelectorState(log_temps, proj_s, proj_t)
+
+
+def temperatures(state: SelectorState) -> jax.Array:
+    return jax.nn.softplus(state.log_temperatures)
+
+
+def select_and_mix(
+    state: SelectorState,
+    student_tokens: jax.Array,  # (P, B, N_s, D_s) extraction-point tokens
+    teacher_tokens: jax.Array,  # (L, B, N_t, D_t) all-layer teacher tokens
+    teacher_importance: jax.Array,  # (L, B, N_t) attention importance
+) -> tuple[jax.Array, jax.Array, dict]:
+    """Soft-select teacher layers per extraction point.
+
+    Returns (mixed_tokens (P, B, N_t, D_t), mixed_importance (P, B, N_t),
+    aux) where aux carries mixing weights / ranks / distances for logging
+    and tests.
+    """
+    p, b, n_s, d_s = student_tokens.shape
+    l, _, n_t, d_t = teacher_tokens.shape
+
+    # ---- teacher statistics (no_grad, global batch) ----
+    t_flat = jax.lax.stop_gradient(
+        teacher_tokens.astype(jnp.float32).reshape(l, b * n_t, d_t)
+    )
+    z_t = jnp.einsum(
+        "lmd,ed->lme", t_flat, state.proj_t, preferred_element_type=jnp.float32
+    )  # (L, M_t, D_s)
+
+    ranks = marchenko_pastur_rank(z_t)  # (L,)
+    # cap at D_s - 1 (reference layer_selector.py:74); floor at 1 keeps the
+    # weighted distance defined when MP finds no signal eigenvalue.
+    ranks = jnp.clip(ranks, 1, d_s - 1)
+
+    basis_t, svals_t = grassmann_basis(z_t)  # (L, D_s, D_s), (L, D_s)
+
+    # ---- student subspaces (differentiable) ----
+    s_flat = student_tokens.astype(jnp.float32).reshape(p, b * n_s, d_s)
+    z_s = jnp.einsum(
+        "pmd,ed->pme", s_flat, state.proj_s, preferred_element_type=jnp.float32
+    )
+    basis_s, _ = grassmann_basis(z_s)  # (P, D_s, D_s)
+
+    # ---- spectrally-weighted principal angles, all (P, L) pairs at once ----
+    d2 = masked_principal_angle_distance(
+        basis_s[:, None],  # (P, 1, D_s, D_s)
+        basis_t[None],  # (1, L, D_s, D_s)
+        svals_t[None],  # (1, L, D_s)
+        ranks[None],  # (1, L)
+    )  # (P, L)
+
+    # ---- temperature-scaled soft mixing (reference layer_selector.py:107-112)
+    tau = temperatures(state)  # (P,)
+    weights = jax.nn.softmax(-d2 / tau[:, None], axis=-1)  # (P, L)
+
+    mixed_tokens = jnp.einsum(
+        "pl,lbnd->pbnd",
+        weights,
+        teacher_tokens.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    mixed_importance = jnp.einsum(
+        "pl,lbn->pbn",
+        weights,
+        teacher_importance.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+    aux = {
+        "mixing_weights": weights,
+        "grassmann_d2": d2,
+        "mp_ranks": ranks,
+        "temperatures": tau,
+    }
+    return mixed_tokens, mixed_importance, aux

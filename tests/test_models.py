@@ -1,0 +1,181 @@
+"""Model zoo: shapes, intermediates, importance semantics, teacher bundle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basd_tpu.models import (
+    ConvNeXt,
+    ConvNeXtConfig,
+    ResNet,
+    ResNetConfig,
+    VisionTransformer,
+    ViTConfig,
+    create_student,
+    derive_student_arch,
+    estimate_intrinsic_dim,
+    extract_intermediates,
+    load_teacher,
+    resolve_preset,
+)
+
+
+def _tiny_vit(**kw):
+    defaults = dict(
+        img_size=16, patch_size=4, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=2.0, num_classes=5, dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return ViTConfig(**defaults)
+
+
+class TestViT:
+    def test_output_shapes(self):
+        cfg = _tiny_vit()
+        model = VisionTransformer(cfg, capture_layers=(0, 2))
+        x = jnp.ones((2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.logits.shape == (2, 5)
+        assert out.tokens.shape == (2, 2, 16, 32)  # (P, B, N, D)
+        assert out.importance.shape == (2, 2, 16)
+
+    def test_importance_is_cls_attention(self):
+        # CLS-row importance: nonnegative, sums to <= 1 (CLS->CLS excluded)
+        cfg = _tiny_vit()
+        model = VisionTransformer(cfg, capture_layers=(1,))
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        imp = np.asarray(out.importance[0])
+        assert (imp >= 0).all()
+        assert (imp.sum(-1) <= 1.0 + 1e-5).all()
+
+    def test_no_cls_importance_uniform_sum(self):
+        cfg = _tiny_vit(has_cls_token=False)
+        model = VisionTransformer(cfg, capture_layers=(0,))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        imp = np.asarray(out.importance[0])
+        np.testing.assert_allclose(imp.sum(-1), 1.0, atol=1e-5)
+
+    def test_eval_deterministic(self):
+        cfg = _tiny_vit(drop_path_rate=0.2)
+        model = VisionTransformer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        a = model.apply(variables, x, train=False)
+        b = model.apply(variables, x, train=False)
+        np.testing.assert_array_equal(np.asarray(a.logits), np.asarray(b.logits))
+
+    def test_drop_path_stochastic_in_train(self):
+        cfg = _tiny_vit(drop_path_rate=0.5)
+        model = VisionTransformer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        a = model.apply(
+            variables, x, train=True, rngs={"droppath": jax.random.PRNGKey(2)}
+        )
+        b = model.apply(
+            variables, x, train=True, rngs={"droppath": jax.random.PRNGKey(3)}
+        )
+        assert np.abs(np.asarray(a.logits) - np.asarray(b.logits)).max() > 1e-6
+
+    def test_remat_matches_no_remat(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        m1 = VisionTransformer(_tiny_vit(remat=False), capture_layers=(2,))
+        m2 = VisionTransformer(_tiny_vit(remat=True), capture_layers=(2,))
+        v = m1.init(jax.random.PRNGKey(0), x, train=False)
+        a = m1.apply(v, x, train=False)
+        b = m2.apply(v, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(a.logits), np.asarray(b.logits), atol=1e-5
+        )
+
+    def test_headless_teacher_mode(self):
+        cfg = _tiny_vit(num_classes=0)
+        model = VisionTransformer(cfg)
+        x = jnp.ones((2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.logits.shape == (2, 32)  # pooled features
+
+
+class TestCNN:
+    def test_resnet_tokens(self):
+        model = ResNet(ResNetConfig(stage_sizes=(1, 1, 1, 1), width=8,
+                                    dtype=jnp.float32))
+        x = jnp.ones((2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.tokens.shape[0] == 1  # single extraction layer
+        assert out.tokens.shape[1] == 2
+        n = out.tokens.shape[2]
+        np.testing.assert_allclose(
+            np.asarray(out.importance), 1.0 / n, atol=1e-7
+        )
+
+    def test_convnext_tokens(self):
+        model = ConvNeXt(
+            ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
+                           dtype=jnp.float32)
+        )
+        x = jnp.ones((2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.tokens.shape == (1, 2, 1, 32)
+
+
+class TestTeacher:
+    def test_load_and_extract(self):
+        teacher = load_teacher("vit_mini_patch4", img_size=16, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+        tokens, imp = extract_intermediates(teacher, x)
+        assert tokens.shape == (6, 2, 16, 96)  # (L, B, N, D)
+        assert imp.shape == (6, 2, 16)
+
+    def test_intrinsic_dim(self):
+        teacher = load_teacher("vit_mini_patch4", img_size=16, dtype=jnp.float32)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        d = estimate_intrinsic_dim(teacher, imgs)
+        assert isinstance(d, int)
+        assert 0 <= d <= 96
+
+    def test_cnn_teacher(self):
+        teacher = load_teacher("resnet_micro", img_size=32, dtype=jnp.float32)
+        x = jnp.ones((2, 32, 32, 3))
+        tokens, imp = extract_intermediates(teacher, x)
+        assert tokens.shape[0] == 1
+        assert imp.shape[:2] == (1, 2)
+
+
+class TestFactory:
+    def test_derive_from_teacher(self):
+        # reference train.py:57-66: head_dim inherited, width = ceil to
+        # head multiple capped at teacher dim
+        spec = resolve_preset("dinov2_vitb14")  # 768 dim, 12 heads -> hd 64
+        arch = derive_student_arch(spec, intrinsic_dim=150)
+        assert arch["embed_dim"] == 192  # ceil(150/64)*64
+        assert arch["num_heads"] == 3
+        assert arch["depth"] == 12
+        arch2 = derive_student_arch(spec, intrinsic_dim=10_000)
+        assert arch2["embed_dim"] == 768  # capped at teacher width
+
+    def test_create_student_with_overrides(self):
+        model, cfg = create_student(
+            "vit_tiny_patch16",
+            num_classes=10,
+            drop_path_rate=0.1,
+            img_size=32,
+            arch_overrides={"embed_dim": 64, "depth": 2, "num_heads": 2,
+                            "mlp_ratio": 2.0, "patch_size": 8},
+            capture_layers=(0, 1),
+            dtype=jnp.float32,
+            remat=False,
+        )
+        x = jnp.ones((2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.logits.shape == (2, 10)
+        assert out.tokens.shape == (2, 2, 16, 64)
