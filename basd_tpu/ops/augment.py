@@ -1,0 +1,323 @@
+"""On-device image augmentation: the TPU-native input path.
+
+The reference runs RandomResizedCrop + HFlip + TrivialAugmentWide +
+Normalize on 8 host worker processes (`src/data/datasets.py:137-144`) and
+ships fp32 tensors to the device. Here the host ships ONE uint8 array per
+image and every augmentation is a jitted device op fused into the train
+step (BASELINE.json north star: "on-device image input path").
+
+Design notes (TPU-first):
+  * Separable resampling (crop/resize/shear/translate along one axis) is
+    expressed as per-sample interpolation-weight matrices applied with
+    batched matmuls — MXU work instead of gathers.
+  * Rotation (the one non-separable warp) uses a bilinear gather via
+    map_coordinates, batched with vmap.
+  * Per-image TrivialAugment op selection uses "neutral-parameter
+    composition": every op runs once on the whole batch with per-image
+    parameters that default to identity, instead of a 14-way vmapped
+    switch (which would multiply activation memory by the branch count).
+  * Interpolation is bilinear throughout (torchvision defaults NEAREST for
+    TrivialAugment geometry; parity is statistical — final accuracy — per
+    SURVEY.md hard part 5).
+
+All ops take/return float32 images in [0, 1], NHWC.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize(images: jax.Array, mean, std) -> jax.Array:
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (images - mean) / std
+
+
+def _axis_weights(src: jax.Array, n_in: int) -> jax.Array:
+    """(..., n_out) fractional source coords -> (..., n_out, n_in) bilinear
+    weight matrices: w[.., i, k] = max(0, 1 - |src_i - k|)."""
+    grid = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - grid))
+
+
+def _resample_separable(
+    images: jax.Array, src_y: jax.Array, src_x: jax.Array
+) -> jax.Array:
+    """Sample images (B, H, W, C) at per-sample axis coords
+    src_y (B, H_out), src_x (B, W_out) with bilinear weights; out-of-range
+    coords clamp at the border (weights renormalize to nearest pixel)."""
+    h, w = images.shape[1], images.shape[2]
+    wy = _axis_weights(jnp.clip(src_y, 0.0, h - 1.0), h)  # (B, H_out, H)
+    wx = _axis_weights(jnp.clip(src_x, 0.0, w - 1.0), w)  # (B, W_out, W)
+    out = jnp.einsum(
+        "bih,bhwc->biwc", wy, images, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "bjw,biwc->bijc", wx, out, preferred_element_type=jnp.float32
+    )
+
+
+def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Half-pixel bilinear resize (matches torch antialias=False)."""
+    b = images.shape[0]
+    h, w = images.shape[1], images.shape[2]
+    sy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+    sx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
+    sy = jnp.broadcast_to(sy, (b, out_h))
+    sx = jnp.broadcast_to(sx, (b, out_w))
+    return _resample_separable(images, sy, sx)
+
+
+def hflip(images: jax.Array, rng: jax.Array, p: float = 0.5) -> jax.Array:
+    flip = jax.random.bernoulli(rng, p, (images.shape[0], 1, 1, 1))
+    return jnp.where(flip, images[:, :, ::-1, :], images)
+
+
+def random_resized_crop(
+    images: jax.Array,
+    rng: jax.Array,
+    out_size: int,
+    scale: tuple[float, float] = (0.08, 1.0),
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    attempts: int = 10,
+) -> jax.Array:
+    """torchvision RandomResizedCrop semantics: sample (area-scale, aspect)
+    up to `attempts` times, take the first in-bounds candidate, else fall
+    back to a max center crop — fully vectorized over batch x attempts."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    k_area, k_ratio, k_i, k_j = jax.random.split(rng, 4)
+
+    area = h * w
+    target_area = area * jax.random.uniform(
+        k_area, (b, attempts), minval=scale[0], maxval=scale[1]
+    )
+    log_ratio = jax.random.uniform(
+        k_ratio,
+        (b, attempts),
+        minval=jnp.log(ratio[0]),
+        maxval=jnp.log(ratio[1]),
+    )
+    aspect = jnp.exp(log_ratio)
+
+    cw = jnp.sqrt(target_area * aspect)
+    ch = jnp.sqrt(target_area / aspect)
+    valid = (cw <= w) & (ch <= h)  # (B, attempts)
+
+    u_i = jax.random.uniform(k_i, (b, attempts))
+    u_j = jax.random.uniform(k_j, (b, attempts))
+    top = u_i * (h - ch)
+    left = u_j * (w - cw)
+
+    # first valid attempt per sample (argmax of boolean picks first True)
+    idx = jnp.argmax(valid, axis=1)
+    any_valid = jnp.any(valid, axis=1)
+    take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    ch_s, cw_s, top_s, left_s = take(ch), take(cw), take(top), take(left)
+
+    # fallback: torchvision center-crops the largest in-ratio rectangle
+    fb_cw = jnp.minimum(jnp.float32(w), jnp.float32(h) * ratio[1])
+    fb_ch = jnp.minimum(jnp.float32(h), jnp.float32(w) / ratio[0])
+    ch_s = jnp.where(any_valid, ch_s, fb_ch)
+    cw_s = jnp.where(any_valid, cw_s, fb_cw)
+    top_s = jnp.where(any_valid, top_s, (h - fb_ch) / 2.0)
+    left_s = jnp.where(any_valid, left_s, (w - fb_cw) / 2.0)
+
+    ys = (jnp.arange(out_size, dtype=jnp.float32)[None, :] + 0.5) * (
+        ch_s[:, None] / out_size
+    ) - 0.5 + top_s[:, None]
+    xs = (jnp.arange(out_size, dtype=jnp.float32)[None, :] + 0.5) * (
+        cw_s[:, None] / out_size
+    ) - 0.5 + left_s[:, None]
+    return _resample_separable(images, ys, xs)
+
+
+# ---------------------------------------------------------------------------
+# TrivialAugmentWide
+# ---------------------------------------------------------------------------
+
+_TA_NUM_OPS = 14
+(
+    _OP_IDENTITY,
+    _OP_SHEAR_X,
+    _OP_SHEAR_Y,
+    _OP_TRANSLATE_X,
+    _OP_TRANSLATE_Y,
+    _OP_ROTATE,
+    _OP_BRIGHTNESS,
+    _OP_COLOR,
+    _OP_CONTRAST,
+    _OP_SHARPNESS,
+    _OP_POSTERIZE,
+    _OP_SOLARIZE,
+    _OP_AUTOCONTRAST,
+    _OP_EQUALIZE,
+) = range(_TA_NUM_OPS)
+
+_GRAY = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+
+
+def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
+    """Warp (B, H, W, C) by per-sample inverse affine 2x3 matrices mapping
+    output pixel coords -> input coords (about the image center), bilinear,
+    zero fill."""
+    b, h, w, c = images.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    coords = jnp.stack([yy - cy, xx - cx, jnp.ones_like(yy)])  # (3, H, W)
+
+    def warp_one(img, mat):
+        src = jnp.einsum("ik,khw->ihw", mat, coords)  # (2, H, W)
+        src_y = src[0] + cy
+        src_x = src[1] + cx
+        per_channel = lambda ch: jax.scipy.ndimage.map_coordinates(
+            ch, [src_y, src_x], order=1, mode="constant", cval=0.0
+        )
+        return jnp.stack(
+            [per_channel(img[..., k]) for k in range(c)], axis=-1
+        )
+
+    return jax.vmap(warp_one)(images, mats)
+
+
+def _blur3(images: jax.Array) -> jax.Array:
+    """PIL SMOOTH-style 3x3 blur used by sharpness (kernel 1/13 with center
+    5/13), edges kept (torchvision keeps the border pixels unblurred)."""
+    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    blurred = jax.lax.conv_general_dilated(
+        images,
+        jnp.tile(k[:, :, None, None], (1, 1, 1, images.shape[-1])),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=images.shape[-1],
+    )
+    b, h, w, c = images.shape
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = ((yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))[None, :, :, None]
+    return jnp.where(interior, blurred, images)
+
+
+def _equalize(images: jax.Array) -> jax.Array:
+    """PIL-style histogram equalization per image per channel (uint8 space)."""
+    u8 = jnp.clip(images * 255.0, 0, 255).astype(jnp.int32)
+
+    def eq_channel(ch_flat):  # (H*W,)
+        hist = jnp.bincount(ch_flat, length=256)
+        # PIL rule: step = (total - last_nonzero_count) // 255
+        nonzero = hist > 0
+        last_nz = 255 - jnp.argmax(nonzero[::-1])
+        step = (jnp.sum(hist) - hist[last_nz]) // 255
+        cum = jnp.cumsum(hist)
+        lut = jnp.where(
+            step > 0,
+            jnp.clip(
+                (cum - hist + step // 2) // jnp.maximum(step, 1), 0, 255
+            ),
+            jnp.arange(256),
+        )
+        return lut[ch_flat]
+
+    b, h, w, c = images.shape
+    flat = u8.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    out = jax.vmap(eq_channel)(flat)
+    out = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    return out.astype(jnp.float32) / 255.0
+
+
+def _autocontrast(images: jax.Array) -> jax.Array:
+    lo = jnp.min(images, axis=(1, 2), keepdims=True)
+    hi = jnp.max(images, axis=(1, 2), keepdims=True)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 1.0)
+    return jnp.clip((images - lo) * scale, 0.0, 1.0)
+
+
+def trivial_augment_wide(images: jax.Array, rng: jax.Array) -> jax.Array:
+    """TrivialAugmentWide (Mueller & Hutter 2021) as used by the reference
+    train pipeline (`datasets.py:140`): ONE op per image, uniform over 14
+    ops, uniform magnitude over 31 bins, random sign. torchvision
+    `_AUGMENTATION_SPACE` wide ranges: shear 0.99, translate 32px,
+    rotate 135 deg, color factors 0.99, posterize >= 2 bits, solarize
+    threshold full range."""
+    b = images.shape[0]
+    k_op, k_mag, k_sign = jax.random.split(rng, 3)
+    op = jax.random.randint(k_op, (b,), 0, _TA_NUM_OPS)
+    mag = jax.random.randint(k_mag, (b,), 0, 31).astype(jnp.float32) / 30.0
+    sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+    sm = sign * mag
+
+    is_op = lambda o: (op == o)
+
+    # ---- geometric ops -> one fused affine warp (inverse matrices) ----
+    shear_x = jnp.where(is_op(_OP_SHEAR_X), sm * 0.99, 0.0)
+    shear_y = jnp.where(is_op(_OP_SHEAR_Y), sm * 0.99, 0.0)
+    trans_x = jnp.where(is_op(_OP_TRANSLATE_X), sm * 32.0, 0.0)
+    trans_y = jnp.where(is_op(_OP_TRANSLATE_Y), sm * 32.0, 0.0)
+    angle = jnp.where(is_op(_OP_ROTATE), sm * 135.0, 0.0) * (jnp.pi / 180.0)
+
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    # forward op: rotate + shear + translate; build inverse map out->in.
+    # inverse of [[c, -s], [s, c]] @ [[1, shx], [shy, 1]] with translation.
+    a11 = cos - sin * shear_y
+    a12 = cos * shear_x - sin
+    a21 = sin + cos * shear_y
+    a22 = sin * shear_x + cos
+    det = a11 * a22 - a12 * a21
+    inv11, inv12 = a22 / det, -a12 / det
+    inv21, inv22 = -a21 / det, a11 / det
+    # output (y, x): in = inv @ (out - t); translation in (x, y) pixels
+    mats = jnp.stack(
+        [
+            jnp.stack([inv22, inv21, -(inv22 * trans_y + inv21 * trans_x)], -1),
+            jnp.stack([inv12, inv11, -(inv12 * trans_y + inv11 * trans_x)], -1),
+        ],
+        axis=-2,
+    )  # (B, 2, 3) acting on (y, x, 1)
+    geo = is_op(_OP_SHEAR_X) | is_op(_OP_SHEAR_Y) | is_op(_OP_TRANSLATE_X) \
+        | is_op(_OP_TRANSLATE_Y) | is_op(_OP_ROTATE)
+    out = jnp.where(geo[:, None, None, None], _affine_warp(images, mats), images)
+
+    # ---- photometric ops with neutral defaults ----
+    factor = 1.0 + sm * 0.99
+    f_bright = jnp.where(is_op(_OP_BRIGHTNESS), factor, 1.0)[:, None, None, None]
+    out = jnp.clip(out * f_bright, 0.0, 1.0)
+
+    gray = jnp.einsum("bhwc,c->bhw", out, _GRAY)[..., None]
+    f_color = jnp.where(is_op(_OP_COLOR), factor, 1.0)[:, None, None, None]
+    out = jnp.clip(gray + f_color * (out - gray), 0.0, 1.0)
+
+    mean_gray = jnp.mean(
+        jnp.einsum("bhwc,c->bhw", out, _GRAY), axis=(1, 2)
+    )[:, None, None, None]
+    f_contrast = jnp.where(is_op(_OP_CONTRAST), factor, 1.0)[:, None, None, None]
+    out = jnp.clip(mean_gray + f_contrast * (out - mean_gray), 0.0, 1.0)
+
+    blurred = _blur3(out)
+    f_sharp = jnp.where(is_op(_OP_SHARPNESS), factor, 1.0)[:, None, None, None]
+    out = jnp.clip(blurred + f_sharp * (out - blurred), 0.0, 1.0)
+
+    # posterize: bits in {8..2}: 8 - round(mag * 6); masked select (8-bit
+    # quantization is identity on uint8 but not on float images)
+    bits = 8.0 - jnp.round(mag * 6.0)
+    step = (256.0 / jnp.exp2(bits))[:, None, None, None]
+    posterized = jnp.floor(out * 255.0 / step) * step / 255.0
+    out = jnp.where(is_op(_OP_POSTERIZE)[:, None, None, None], posterized, out)
+
+    # solarize: invert above threshold; neutral threshold > 1
+    thresh = jnp.where(is_op(_OP_SOLARIZE), 1.0 - mag, 2.0)[:, None, None, None]
+    out = jnp.where(out >= thresh, 1.0 - out, out)
+
+    out = jnp.where(
+        is_op(_OP_AUTOCONTRAST)[:, None, None, None], _autocontrast(out), out
+    )
+    out = jnp.where(
+        is_op(_OP_EQUALIZE)[:, None, None, None], _equalize(out), out
+    )
+    return out
