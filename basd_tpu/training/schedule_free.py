@@ -55,11 +55,17 @@ def schedule_free_adamw(
         return ScheduleFreeState(
             step=jnp.zeros((), jnp.int32),
             weight_sum=jnp.zeros((), jnp.float32),
-            z=jax.tree_util.tree_map(jnp.asarray, params),
+            # real copies — z must not alias the param buffers (the train
+            # step donates its input state; aliased buffers would be
+            # donated twice)
+            z=jax.tree_util.tree_map(jnp.copy, params),
             exp_avg_sq=jax.tree_util.tree_map(
                 lambda p: jnp.zeros_like(p, dtype=jnp.float32), params
             ),
         )
+
+    learning_rate = float(learning_rate)
+    weight_decay = float(weight_decay)
 
     def update_fn(grads, state, params):
         if params is None:

@@ -1,0 +1,204 @@
+"""Epoch driver: shuffled uint8 batches -> jitted train step -> metrics ->
+best/latest checkpoints (reference `src/training/trainer.py:40-211`).
+
+The torch reference interleaves host work (dataloader workers, `.cuda()`
+copies, hook bookkeeping) with device work per batch; here the host only
+shuffles indices and feeds uint8 arrays to a donated, fully-jitted step over
+a device mesh, with metrics fetched once per epoch tail.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basd_tpu.checkpoint import CheckpointManager
+from basd_tpu.evaluation.metrics import evaluate_model
+from basd_tpu.losses import extraction_points, init_selector
+from basd_tpu.models.teacher import Teacher
+from basd_tpu.parallel.mesh import batch_sharding, replicated
+from basd_tpu.training.schedule_free import eval_params
+from basd_tpu.training.train_step import make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        config,
+        *,
+        student_module,
+        student_cfg,
+        teacher: Teacher,
+        teacher_stats: tuple,
+        dataset_stats: tuple,
+        mesh=None,
+    ):
+        self.config = config
+        self.student = student_module
+        self.teacher = teacher
+        self.mesh = mesh
+
+        points = extraction_points(
+            student_cfg.depth, config.basd.num_extraction_points
+        )
+        self.extraction_points = points
+
+        selector = init_selector(
+            jax.random.PRNGKey(config.run.seed + 1),
+            len(points),
+            student_cfg.embed_dim,
+            teacher.spec.embed_dim,
+        )
+
+        self.optimizer, init_fn, step_fn = make_train_step(
+            student_module,
+            teacher,
+            learning_rate=config.training.learning_rate,
+            weight_decay=config.training.weight_decay,
+            warmup_steps=config.training.get("warmup_steps", 0),
+            label_smoothing=config.training.label_smoothing,
+            img_size=config.model.vit.img_size,
+            crop_ratio=config.data.eval_crop_ratio,
+            teacher_stats=teacher_stats,
+            dataset_stats=dataset_stats,
+            num_classes=config.model.num_classes,
+        )
+        self.state = init_fn(jax.random.PRNGKey(config.run.seed), selector)
+        self._step = jax.jit(step_fn, donate_argnums=0)
+
+        if mesh is not None:
+            self.state = jax.device_put(self.state, replicated(mesh))
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
+
+        ckpt_dir = (
+            Path(config.run.output_dir) / config.run.name / "checkpoints"
+        )
+        self.checkpoints = CheckpointManager(ckpt_dir)
+
+        self.best_val_acc = 0.0
+        self.metrics_history: dict[str, list] = defaultdict(list)
+        self._eval_stats = dataset_stats
+
+    # ------------------------------------------------------------------
+
+    def _put(self, images: np.ndarray, labels: np.ndarray):
+        i = jnp.asarray(images)
+        l = jnp.asarray(labels)
+        if self._batch_sharding is not None:
+            i = jax.device_put(i, self._batch_sharding)
+            l = jax.device_put(l, self._batch_sharding)
+        return i, l
+
+    def _train_epoch(self, images: np.ndarray, labels: np.ndarray, epoch: int):
+        batch_size = self.config.data.batch_size
+        rng = np.random.default_rng(self.config.run.seed * 100_003 + epoch)
+        order = rng.permutation(len(labels))
+        num_batches = len(labels) // batch_size  # drop_last=True
+
+        losses, accs = [], []
+        for b in range(num_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            imgs, labs = self._put(images[idx], labels[idx])
+            self.state, metrics = self._step(self.state, imgs, labs)
+            losses.append(metrics["loss"])
+            accs.append(metrics["train_acc"])
+
+        return {
+            "train_loss": float(jnp.mean(jnp.stack(losses))),
+            "train_acc": 100.0 * float(jnp.mean(jnp.stack(accs))),
+        }
+
+    def eval_model_params(self):
+        """ScheduleFree x-point student params (optimizer .eval() mode,
+        reference `trainer.py:184`)."""
+        trainable = {
+            "student": self.state.params,
+            "log_temperatures": self.state.selector.log_temperatures,
+        }
+        return eval_params(self.state.opt_state, trainable)["student"]
+
+    def evaluate(self, images: np.ndarray, labels: np.ndarray):
+        cfg = self.config
+        return evaluate_model(
+            self.student.apply,
+            self.eval_model_params(),
+            images,
+            labels,
+            img_size=cfg.model.vit.img_size,
+            crop_ratio=cfg.data.eval_crop_ratio,
+            mean=self._eval_stats[0],
+            std=self._eval_stats[1],
+            batch_size=cfg.data.batch_size,
+        )
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, name: str, epoch: int) -> None:
+        self.checkpoints.save_state(
+            name,
+            self.state,
+            epoch=epoch,
+            best_val_acc=self.best_val_acc,
+            metrics_history=dict(self.metrics_history),
+        )
+
+    def save_weights(self, filename: str, epoch: int) -> None:
+        self.checkpoints.save_weights(
+            filename, jax.device_get(self.eval_model_params()), epoch
+        )
+
+    def load_checkpoint(self, checkpoint_path: str) -> int:
+        state, start_epoch, best, history = self.checkpoints.restore_state(
+            checkpoint_path, jax.device_get(self.state)
+        )
+        self.state = (
+            jax.device_put(state, replicated(self.mesh))
+            if self.mesh is not None
+            else jax.device_put(state)
+        )
+        self.best_val_acc = best
+        self.metrics_history = defaultdict(list, history)
+        return start_epoch
+
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        train_data: tuple[np.ndarray, np.ndarray],
+        val_data: tuple[np.ndarray, np.ndarray],
+        start_epoch: int = 0,
+    ) -> dict[str, list]:
+        num_epochs = self.config.training.num_epochs
+        train_images, train_labels = train_data
+        val_images, val_labels = val_data
+
+        for epoch in range(start_epoch, num_epochs):
+            train_metrics = self._train_epoch(train_images, train_labels, epoch)
+            val_metrics = self.evaluate(val_images, val_labels)
+
+            print(
+                f"epoch {epoch + 1}/{num_epochs} "
+                f"train_loss={train_metrics['train_loss']:.6f} "
+                f"train_acc={train_metrics['train_acc']:.4f} "
+                f"val_acc={val_metrics['val_acc']:.4f}"
+            )
+
+            for key, value in {**train_metrics, **val_metrics}.items():
+                self.metrics_history[key].append(value)
+
+            if val_metrics["val_acc"] > self.best_val_acc:
+                self.best_val_acc = val_metrics["val_acc"]
+                self.save_checkpoint("best_model", epoch)
+                self.save_weights("best_model.npz", epoch)
+
+            self.save_checkpoint("latest", epoch)
+
+        self.save_weights("final_model.npz", num_epochs - 1)
+        print(f"training complete best_val_acc={self.best_val_acc:.4f}")
+        return dict(self.metrics_history)
