@@ -72,14 +72,23 @@ def make_train_step(
     num_classes: int,
 ):
     """Build (optimizer, init_fn, step_fn). step_fn is jit-compatible:
-    (state, images_u8 (B,H,W,3), labels (B,)) -> (state, metrics)."""
+    (state, teacher_variables, images_u8 (B,H,W,3), labels (B,))
+    -> (state, metrics)."""
     optimizer = schedule_free_adamw(
         learning_rate,
         weight_decay=weight_decay,
         warmup_steps=warmup_steps,
     )
 
-    def step_fn(state: TrainState, images_u8: jax.Array, labels: jax.Array):
+    def step_fn(
+        state: TrainState,
+        teacher_variables,
+        images_u8: jax.Array,
+        labels: jax.Array,
+    ):
+        # teacher params are an explicit argument (NOT a closure capture):
+        # closed-over arrays become HLO constants, bloating the program and
+        # defeating donation/sharding of the frozen teacher weights.
         rng, k_view, k_mix, k_droppath = jax.random.split(state.rng, 4)
 
         clean, augmented = dual_view(
@@ -95,7 +104,7 @@ def make_train_step(
         )
 
         teacher_tokens, teacher_importance = extract_intermediates(
-            teacher, clean
+            teacher._replace(variables=teacher_variables), clean
         )
 
         def loss_fn(trainable):

@@ -69,9 +69,13 @@ class Trainer:
         )
         self.state = init_fn(jax.random.PRNGKey(config.run.seed), selector)
         self._step = jax.jit(step_fn, donate_argnums=0)
+        self._teacher_vars = teacher.variables
 
         if mesh is not None:
             self.state = jax.device_put(self.state, replicated(mesh))
+            self._teacher_vars = jax.device_put(
+                self._teacher_vars, replicated(mesh)
+            )
             self._batch_sharding = batch_sharding(mesh)
         else:
             self._batch_sharding = None
@@ -105,7 +109,9 @@ class Trainer:
         for b in range(num_batches):
             idx = order[b * batch_size : (b + 1) * batch_size]
             imgs, labs = self._put(images[idx], labels[idx])
-            self.state, metrics = self._step(self.state, imgs, labs)
+            self.state, metrics = self._step(
+                self.state, self._teacher_vars, imgs, labs
+            )
             losses.append(metrics["loss"])
             accs.append(metrics["train_acc"])
 

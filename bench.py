@@ -1,0 +1,109 @@
+"""Headline benchmark: ViT-Tiny BASD distillation step on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the reference's Table-3 configuration (CIFAR-100-shaped, DeiT-Tiny
+student, DINOv2 ViT-B teacher, 4 extraction points, batch 128 — reference
+`configs/experiment/basd_cifar100.yaml` + `configs/config.yaml:37-39`):
+one FULL training step including on-device dual-view augmentation, frozen
+teacher forward, Grassmannian spectral selection, Procrustes + CE + UW-SO,
+backward, and the ScheduleFree update. Metric is distillation throughput in
+images/sec/chip (BASELINE.md north-star metric). The reference publishes no
+numbers (vs_baseline: null).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from basd_tpu.losses import extraction_points, init_selector
+    from basd_tpu.models import create_student, load_teacher
+    from basd_tpu.training.train_step import make_train_step
+
+    img_size = 32
+    batch = 128
+    num_classes = 100
+
+    teacher = load_teacher("dinov2_vitb14", img_size=img_size,
+                           dtype=jnp.bfloat16)
+    points = extraction_points(12, 4)
+    student, cfg = create_student(
+        "vit_tiny_patch16",
+        num_classes=num_classes,
+        drop_path_rate=0.05,
+        img_size=img_size,
+        arch_overrides={"patch_size": 4},
+        capture_layers=points,
+        dtype=jnp.bfloat16,
+        remat=True,
+    )
+    selector = init_selector(
+        jax.random.PRNGKey(1), len(points), cfg.embed_dim,
+        teacher.spec.embed_dim,
+    )
+    _, init_fn, step_fn = make_train_step(
+        student,
+        teacher,
+        learning_rate=5e-4,
+        weight_decay=0.05,
+        warmup_steps=1000,
+        label_smoothing=0.01,
+        img_size=img_size,
+        crop_ratio=32 / 40,
+        teacher_stats=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        dataset_stats=((0.507, 0.487, 0.441), (0.267, 0.256, 0.276)),
+        num_classes=num_classes,
+    )
+    state = init_fn(jax.random.PRNGKey(0), selector)
+    step = jax.jit(step_fn, donate_argnums=0)
+    teacher_vars = teacher.variables
+
+    rng = np.random.default_rng(0)
+    raw = 40  # host loader raw size for img 32 (round(32/0.875/4)*4)
+    images = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
+    labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
+
+    # warmup (compile + stabilize)
+    for _ in range(10):
+        state, metrics = step(state, teacher_vars, images, labels)
+    jax.block_until_ready(metrics["loss"])
+
+    num_steps = 50
+    start = time.perf_counter()
+    for _ in range(num_steps):
+        state, metrics = step(state, teacher_vars, images, labels)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    n_chips = jax.device_count()
+    img_per_sec_per_chip = batch * num_steps / elapsed / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "vit_tiny_basd_distill_throughput",
+                "value": round(img_per_sec_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "detail": {
+                    "step_time_ms": round(1e3 * elapsed / num_steps, 3),
+                    "batch": batch,
+                    "chips": n_chips,
+                    "teacher": "dinov2_vitb14",
+                    "student": "vit_tiny_patch4_img32",
+                    "loss": float(metrics["loss"]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

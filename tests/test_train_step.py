@@ -48,13 +48,13 @@ def _setup(teacher_name="vit_mini_patch4", img_size=16, batch=8, seed=0):
     images = (rng.random((batch, 20, 20, 3)) * 255).astype(np.uint8)
     # labels correlated with image content so learning is possible
     labels = (images.astype(np.int32).mean(axis=(1, 2, 3)) % 10).astype(np.int32)
-    return state, jax.jit(step_fn), images, labels
+    return state, teacher.variables, jax.jit(step_fn), images, labels
 
 
 class TestTrainStep:
     def test_single_step_finite(self):
-        state, step, images, labels = _setup()
-        new_state, metrics = step(state, jnp.asarray(images), jnp.asarray(labels))
+        state, tvars, step, images, labels = _setup()
+        new_state, metrics = step(state, tvars, jnp.asarray(images), jnp.asarray(labels))
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["ce_loss"]))
         assert np.isfinite(float(metrics["geo_loss"]))
@@ -63,8 +63,8 @@ class TestTrainStep:
         assert int(new_state.step) == 1
 
     def test_params_update_and_stay_finite(self):
-        state, step, images, labels = _setup(seed=1)
-        s1, _ = step(state, jnp.asarray(images), jnp.asarray(labels))
+        state, tvars, step, images, labels = _setup(seed=1)
+        s1, _ = step(state, tvars, jnp.asarray(images), jnp.asarray(labels))
         # params changed
         diff = jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()),
@@ -77,10 +77,10 @@ class TestTrainStep:
         assert all(jax.tree_util.tree_leaves(finite))
 
     def test_temperatures_receive_updates(self):
-        state, step, images, labels = _setup(seed=2)
+        state, tvars, step, images, labels = _setup(seed=2)
         s = state
         for _ in range(3):
-            s, _ = step(s, jnp.asarray(images), jnp.asarray(labels))
+            s, _ = step(s, tvars, jnp.asarray(images), jnp.asarray(labels))
         dt = np.abs(
             np.asarray(s.selector.log_temperatures)
             - np.asarray(state.selector.log_temperatures)
@@ -93,21 +93,21 @@ class TestTrainStep:
 
     @pytest.mark.slow
     def test_loss_decreases_over_50_steps(self):
-        state, step, images, labels = _setup(seed=3, batch=16)
+        state, tvars, step, images, labels = _setup(seed=3, batch=16)
         losses = []
         s = state
         for _ in range(50):
-            s, m = step(s, jnp.asarray(images), jnp.asarray(labels))
+            s, m = step(s, tvars, jnp.asarray(images), jnp.asarray(labels))
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert np.mean(losses[-10:]) < np.mean(losses[:10])
 
     def test_cnn_teacher_cross_arch(self):
         # CNN->ViT path: single teacher layer, uniform attention
-        state, step, images, labels = _setup(
+        state, tvars, step, images, labels = _setup(
             teacher_name="resnet_micro", img_size=16, seed=4
         )
-        s1, metrics = step(state, jnp.asarray(images), jnp.asarray(labels))
+        s1, metrics = step(state, tvars, jnp.asarray(images), jnp.asarray(labels))
         assert np.isfinite(float(metrics["loss"]))
         w = np.asarray(metrics["mixing_weights"])
         np.testing.assert_allclose(w, 1.0, atol=1e-5)  # L=1 -> weight 1
