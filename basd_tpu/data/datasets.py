@@ -281,22 +281,14 @@ def get_channel_stats(
     dataset_name: str,
 ) -> tuple[tuple[float, ...], tuple[float, ...]]:
     """Per-channel mean/std over the first 5000 train images via Welford
-    parallel merge (reference `src/data/datasets.py:46-68` semantics)."""
+    parallel merge (reference `src/data/datasets.py:46-68` semantics; the
+    inner loop runs in the native C++ kernel when available)."""
+    from basd_tpu.data.native import WelfordStats
+
     images, _ = load_split_arrays(dataset_name, "train")
     images = images[:_CHANNEL_STATS_SAMPLES]
 
-    mean = np.zeros(3, dtype=np.float64)
-    m2 = np.zeros(3, dtype=np.float64)
-    count = 0
+    stats = WelfordStats(3)
     for img in images:
-        flat = img.reshape(-1, 3).astype(np.float64) / 255.0
-        n = flat.shape[0]
-        batch_mean = flat.mean(axis=0)
-        batch_var = flat.var(axis=0)
-        delta = batch_mean - mean
-        new_count = count + n
-        mean += delta * n / new_count
-        m2 += batch_var * n + delta**2 * count * n / new_count
-        count = new_count
-    std = np.sqrt(m2 / count)
-    return tuple(mean.tolist()), tuple(std.tolist())
+        stats.update(img)
+    return stats.result()

@@ -29,6 +29,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# NOTE: static constants in this module are NUMPY arrays on purpose. A
+# module-level jnp array lives on the accelerator; embedding it as a jit
+# constant forces device round-trips during lowering and a separate buffer
+# at runtime (measured: 322 s lowering / 80x slower kernels on the remote
+# TPU relay). numpy constants fold into the compiled program for free.
 
 
 def normalize(images: jax.Array, mean, std) -> jax.Array:
@@ -157,7 +164,7 @@ _TA_NUM_OPS = 14
     _OP_EQUALIZE,
 ) = range(_TA_NUM_OPS)
 
-_GRAY = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+_GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
@@ -165,12 +172,12 @@ def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
     output pixel coords -> input coords (about the image center), bilinear,
     zero fill."""
     b, h, w, c = images.shape
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
         indexing="ij",
     )
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    coords = jnp.stack([yy - cy, xx - cx, jnp.ones_like(yy)])  # (3, H, W)
+    coords = np.stack([yy - cy, xx - cx, np.ones_like(yy)])  # (3, H, W)
 
     def warp_one(img, mat):
         src = jnp.einsum("ik,khw->ihw", mat, coords)  # (2, H, W)
@@ -189,18 +196,18 @@ def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
 def _blur3(images: jax.Array) -> jax.Array:
     """PIL SMOOTH-style 3x3 blur used by sharpness (kernel 1/13 with center
     5/13), edges kept (torchvision keeps the border pixels unblurred)."""
-    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    k = np.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
     blurred = jax.lax.conv_general_dilated(
         images,
-        jnp.tile(k[:, :, None, None], (1, 1, 1, images.shape[-1])),
+        np.tile(k[:, :, None, None], (1, 1, 1, images.shape[-1])),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=images.shape[-1],
     )
     b, h, w, c = images.shape
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
     interior = ((yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))[None, :, :, None]
     return jnp.where(interior, blurred, images)
 

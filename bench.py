@@ -75,7 +75,7 @@ def main() -> None:
         state, metrics = step(state, teacher_vars, images, labels)
     jax.block_until_ready(metrics["loss"])
 
-    num_steps = 50
+    num_steps = 200
     start = time.perf_counter()
     for _ in range(num_steps):
         state, metrics = step(state, teacher_vars, images, labels)

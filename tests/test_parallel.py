@@ -1,0 +1,116 @@
+"""Sharding semantics on the 8-device CPU mesh: DP/TP numerical equivalence
+with the unsharded step, mesh construction, sharding rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from basd_tpu.losses import extraction_points, init_selector
+from basd_tpu.models import create_student, load_teacher
+from basd_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from basd_tpu.parallel.sharding_rules import (
+    state_sharding,
+    student_param_sharding,
+)
+from basd_tpu.training.train_step import make_train_step
+
+
+def _build(batch=16, img_size=16, seed=0):
+    teacher = load_teacher("vit_mini_patch4", img_size=img_size,
+                           dtype=jnp.float32)
+    points = extraction_points(4, 2)
+    student, cfg = create_student(
+        "vit_micro_patch4", num_classes=10, drop_path_rate=0.0,
+        img_size=img_size, capture_layers=points, dtype=jnp.float32,
+        remat=False,
+    )
+    selector = init_selector(
+        jax.random.PRNGKey(seed), len(points), cfg.embed_dim,
+        teacher.spec.embed_dim,
+    )
+    _, init_fn, step_fn = make_train_step(
+        student, teacher,
+        learning_rate=1e-3, weight_decay=0.01, warmup_steps=5,
+        label_smoothing=0.1, img_size=img_size, crop_ratio=16 / 24,
+        teacher_stats=((0.5,) * 3, (0.5,) * 3),
+        dataset_stats=((0.5,) * 3, (0.25,) * 3),
+        num_classes=10,
+    )
+    state = init_fn(jax.random.PRNGKey(seed), selector)
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray((rng.random((batch, 20, 20, 3)) * 255).astype(np.uint8))
+    labels = jnp.asarray(rng.integers(0, 10, batch, dtype=np.int32))
+    return teacher, state, step_fn, images, labels
+
+
+class TestMesh:
+    def test_create_mesh_shapes(self):
+        mesh = create_mesh(data=-1, model=1)
+        assert mesh.shape == {"data": 8, "model": 1}
+        mesh2 = create_mesh(data=4, model=2)
+        assert mesh2.shape == {"data": 4, "model": 2}
+
+    def test_invalid_mesh(self):
+        with pytest.raises(ValueError):
+            create_mesh(data=3, model=2)
+
+
+class TestShardingRules:
+    def test_megatron_specs(self):
+        teacher, state, *_ = _build()
+        mesh = create_mesh(data=4, model=2)
+        shardings = student_param_sharding(mesh, state.params)
+        flat = {
+            "/".join(getattr(k, "key", str(k)) for k in kp): s
+            for kp, s in jax.tree_util.tree_flatten_with_path(shardings)[0]
+        }
+        assert flat["block0/attn/qkv/kernel"].spec == P(None, "model")
+        assert flat["block0/attn/proj/kernel"].spec == P("model", None)
+        assert flat["block0/mlp/fc1/kernel"].spec == P(None, "model")
+        assert flat["block0/mlp/fc2/kernel"].spec == P("model", None)
+        assert flat["cls_token"].spec == P()
+        assert flat["pos_embed"].spec == P()
+
+
+class TestDPTPEquivalence:
+    def _run(self, mesh_cfg, teacher, state, step_fn, images, labels):
+        step = jax.jit(step_fn)
+        if mesh_cfg is None:
+            return step(state, teacher.variables, images, labels)
+        mesh = create_mesh(**mesh_cfg)
+        state_sh = jax.device_put(state, state_sharding(mesh, state))
+        tvars = jax.device_put(teacher.variables, replicated(mesh))
+        imgs = jax.device_put(images, batch_sharding(mesh))
+        labs = jax.device_put(labels, batch_sharding(mesh))
+        return step(state_sh, tvars, imgs, labs)
+
+    def test_dp8_matches_single(self):
+        built = _build(seed=1)
+        _, m_single = self._run(None, *built)
+        _, m_dp = self._run({"data": 8, "model": 1}, *built)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_dp["loss"]), rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_single["mixing_weights"]),
+            np.asarray(m_dp["mixing_weights"]),
+            atol=2e-3,
+        )
+
+    def test_dp4_tp2_matches_single(self):
+        built = _build(seed=2)
+        _, m_single = self._run(None, *built)
+        _, m_tp = self._run({"data": 4, "model": 2}, *built)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_tp["loss"]), rtol=2e-4
+        )
+
+    def test_dp_state_update_matches(self):
+        built = _build(seed=3)
+        s_single, _ = self._run(None, *built)
+        s_dp, _ = self._run({"data": 8, "model": 1}, *built)
+        a = np.asarray(s_single.selector.log_temperatures)
+        b = np.asarray(s_dp.selector.log_temperatures)
+        np.testing.assert_allclose(a, b, atol=1e-5)
