@@ -23,13 +23,15 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.losses.interpolate import align_vector
-from basd_tpu.spectral import nuclear_norm
+from basd_tpu.spectral import nuclear_norm, nuclear_norm_ns
 
 
 def procrustes_loss(
     student_tokens: jax.Array,  # (B, N_s, D_s)
     teacher_tokens: jax.Array,  # (B, N_s, D_t) — already token-count aligned
     importance: jax.Array,  # (B, N_w) teacher attention importance
+    *,
+    use_newton_schulz: bool = True,
 ) -> jax.Array:
     s = student_tokens.astype(jnp.float32)
     t = teacher_tokens.astype(jnp.float32)
@@ -52,6 +54,8 @@ def procrustes_loss(
     cross = jnp.einsum(
         "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32
     )  # (B, D_s, D_t)
-    nuc = nuclear_norm(cross)
+    # production path: Newton-Schulz polar nuclear norm (matmuls only,
+    # gradient = polar factor); eigh path kept as the accuracy oracle
+    nuc = nuclear_norm_ns(cross) if use_newton_schulz else nuclear_norm(cross)
 
     return jnp.mean(tr_s + tr_t - 2.0 * nuc)

@@ -3,5 +3,6 @@ from basd_tpu.spectral.ops import (  # noqa: F401
     marchenko_pastur_rank,
     masked_principal_angle_distance,
     nuclear_norm,
+    nuclear_norm_ns,
     svdvals_psd,
 )

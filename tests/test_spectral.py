@@ -204,3 +204,46 @@ class TestMaskedPrincipalAngles:
         g = np.asarray(jax.grad(f)(jnp.asarray(zs)))
         assert np.all(np.isfinite(g))
         assert np.abs(g).max() > 0
+
+
+class TestNuclearNormNewtonSchulz:
+    def test_matches_svd(self):
+        from basd_tpu.spectral import nuclear_norm_ns
+
+        rng = np.random.default_rng(20)
+        c = rng.normal(size=(16, 12, 24)).astype(np.float32)
+        got = np.asarray(nuclear_norm_ns(jnp.asarray(c)))
+        want = np.linalg.svd(c, compute_uv=False).sum(-1)
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    def test_ill_conditioned(self):
+        from basd_tpu.spectral import nuclear_norm_ns
+
+        rng = np.random.default_rng(21)
+        u, _ = np.linalg.qr(rng.normal(size=(10, 10)))
+        v, _ = np.linalg.qr(rng.normal(size=(14, 14)))
+        s = np.geomspace(1.0, 1e-3, 10)
+        c = (u * s) @ v[:, :10].T
+        got = float(nuclear_norm_ns(jnp.asarray(c.astype(np.float32)[None]))[0])
+        np.testing.assert_allclose(got, s.sum(), rtol=5e-3)
+
+    def test_gradient_is_polar_factor(self):
+        from basd_tpu.spectral import nuclear_norm_ns
+
+        rng = np.random.default_rng(22)
+        c = rng.normal(size=(6, 10)).astype(np.float32)
+        g = np.asarray(
+            jax.grad(lambda x: jnp.sum(nuclear_norm_ns(x)))(jnp.asarray(c))
+        )
+        u, _, vt = np.linalg.svd(c, full_matrices=False)
+        np.testing.assert_allclose(g, u @ vt, atol=2e-3)
+
+    def test_zero_matrix_safe(self):
+        from basd_tpu.spectral import nuclear_norm_ns
+
+        c = jnp.zeros((2, 4, 6))
+        v = np.asarray(nuclear_norm_ns(c))
+        g = np.asarray(
+            jax.grad(lambda x: jnp.sum(nuclear_norm_ns(x)))(c)
+        )
+        assert np.all(v == 0) and np.all(np.isfinite(g))
