@@ -44,8 +44,9 @@ def run(config) -> dict:
         (1, config.model.vit.img_size, config.model.vit.img_size, 3),
         jnp.float32,
     )
-    template = student.init(jax.random.PRNGKey(config.run.seed), dummy,
-                            train=False)["params"]
+    template = jax.jit(
+        lambda r, x: student.init(r, x, train=False)
+    )(jax.random.PRNGKey(config.run.seed), dummy)["params"]
 
     ckpt_path = Path(config.checkpoint.path)
     manager = CheckpointManager(ckpt_path.parent)

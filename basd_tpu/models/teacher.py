@@ -80,7 +80,9 @@ def load_teacher(
 
     rng = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-    variables = module.init(rng, dummy, train=False)
+    # jit the init: un-jitted flax init dispatches hundreds of eager ops,
+    # each a compile round-trip on the remote TPU relay (~0.5 s apiece)
+    variables = jax.jit(lambda r, x: module.init(r, x, train=False))(rng, dummy)
 
     if weights_path is not None:
         from basd_tpu.models.convert import load_converted_weights

@@ -45,9 +45,11 @@ def init_train_state(
 ) -> TrainState:
     k_init, k_state = jax.random.split(rng)
     dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-    variables = student_module.init(k_init, dummy, train=False)
+    variables = jax.jit(
+        lambda r, x: student_module.init(r, x, train=False)
+    )(k_init, dummy)
     params = variables["params"]
-    opt_state = optimizer.init(_trainables(params, selector))
+    opt_state = jax.jit(optimizer.init)(_trainables(params, selector))
     return TrainState(
         params=params,
         selector=selector,

@@ -91,24 +91,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _put(self, images: np.ndarray, labels: np.ndarray):
-        i = jnp.asarray(images)
-        l = jnp.asarray(labels)
-        if self._batch_sharding is not None:
-            i = jax.device_put(i, self._batch_sharding)
-            l = jax.device_put(l, self._batch_sharding)
-        return i, l
-
     def _train_epoch(self, images: np.ndarray, labels: np.ndarray, epoch: int):
+        from basd_tpu.data.pipeline import epoch_batches, prefetch_to_device
+
         batch_size = self.config.data.batch_size
         rng = np.random.default_rng(self.config.run.seed * 100_003 + epoch)
-        order = rng.permutation(len(labels))
-        num_batches = len(labels) // batch_size  # drop_last=True
 
         losses, accs = [], []
-        for b in range(num_batches):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            imgs, labs = self._put(images[idx], labels[idx])
+        for imgs, labs in prefetch_to_device(
+            epoch_batches(images, labels, batch_size, rng),
+            sharding=self._batch_sharding,
+        ):
             self.state, metrics = self._step(
                 self.state, self._teacher_vars, imgs, labs
             )

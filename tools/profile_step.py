@@ -1,0 +1,121 @@
+"""Stage-by-stage profile of the BASD train step on the current backend.
+
+Usage: python tools/profile_step.py
+Reports per-stage times so kernel work (Pallas candidates) is targeted at
+measured hot spots, not guesses.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basd_tpu.losses import basd_loss, extraction_points, init_selector
+from basd_tpu.losses.selector import select_and_mix
+from basd_tpu.models import create_student, load_teacher
+from basd_tpu.models.teacher import extract_intermediates
+from basd_tpu.ops.mixup import mixup_cutmix
+from basd_tpu.ops.preprocess import dual_view
+
+
+def timeit(f, *args, n=30):
+    r = f(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = f(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    img_size, batch, num_classes = 32, 128, 100
+    t0 = time.perf_counter()
+    teacher = load_teacher("dinov2_vitb14", img_size=img_size, dtype=jnp.bfloat16)
+    print(f"teacher init: {time.perf_counter() - t0:.1f}s")
+
+    points = extraction_points(12, 4)
+    student, cfg = create_student(
+        "vit_tiny_patch16", num_classes=num_classes, drop_path_rate=0.05,
+        img_size=img_size, arch_overrides={"patch_size": 4},
+        capture_layers=points, dtype=jnp.bfloat16, remat=True,
+    )
+    selector = init_selector(
+        jax.random.PRNGKey(1), len(points), cfg.embed_dim, teacher.spec.embed_dim
+    )
+    t0 = time.perf_counter()
+    variables = jax.jit(lambda r, x: student.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, img_size, img_size, 3))
+    )
+    params = variables["params"]
+    print(f"student init: {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray((rng.random((batch, 40, 40, 3)) * 255).astype(np.uint8))
+    labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
+    key = jax.random.PRNGKey(0)
+
+    kwargs = dict(
+        img_size=img_size, crop_ratio=0.8,
+        teacher_stats=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        dataset_stats=((0.5,) * 3, (0.25,) * 3),
+    )
+
+    f_view = jax.jit(lambda u, k: dual_view(u, k, **kwargs))
+    print(f"dual_view:        {timeit(f_view, u8, key):7.3f} ms")
+
+    clean, aug = f_view(u8, key)
+    f_mix = jax.jit(
+        lambda a, l, k: mixup_cutmix(a, l, k, num_classes=num_classes)
+    )
+    print(f"mixup_cutmix:     {timeit(f_mix, aug, labels, key):7.3f} ms")
+
+    f_teacher = jax.jit(
+        lambda v, x: extract_intermediates(teacher._replace(variables=v), x)
+    )
+    print(f"teacher forward:  {timeit(f_teacher, teacher.variables, clean):7.3f} ms")
+    t_tokens, t_imp = f_teacher(teacher.variables, clean)
+
+    f_student = jax.jit(
+        lambda p, x, k: student.apply(
+            {"params": p}, x, train=True, rngs={"droppath": k}
+        ).logits
+    )
+    print(f"student fwd:      {timeit(f_student, params, aug, key):7.3f} ms")
+
+    def ce_only(p, x, l, k):
+        out = student.apply({"params": p}, x, train=True, rngs={"droppath": k})
+        return jnp.mean(
+            -jax.nn.log_softmax(out.logits)[jnp.arange(batch), l]
+        )
+
+    f_ce_grad = jax.jit(jax.grad(ce_only))
+    print(f"student fwd+bwd (CE): {timeit(f_ce_grad, params, aug, labels, key):7.3f} ms")
+
+    f_select = jax.jit(
+        lambda sel, s_tok, t_tok, t_i: select_and_mix(sel, s_tok, t_tok, t_i)[0]
+    )
+    out = student.apply({"params": params}, aug, train=False)
+    print(f"selector fwd:     {timeit(f_select, selector, out.tokens, t_tokens, t_imp):7.3f} ms")
+
+    onehot = jax.nn.one_hot(labels, num_classes)
+
+    def full_loss(p, sel, x, oh, k):
+        o = student.apply({"params": p}, x, train=True, rngs={"droppath": k})
+        loss, _ = basd_loss(
+            sel, o.logits, oh, o.tokens, t_tokens, t_imp,
+            label_smoothing=0.01,
+        )
+        return loss
+
+    f_full_grad = jax.jit(jax.grad(full_loss, argnums=(0, 1)))
+    print(f"full loss fwd+bwd: {timeit(f_full_grad, params, selector, aug, onehot, key):7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
