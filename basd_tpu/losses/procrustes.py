@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.losses.interpolate import align_vector
-from basd_tpu.spectral import nuclear_norm, nuclear_norm_ns
+from basd_tpu.spectral import nuclear_norm, nuclear_norm_gram
 
 
 def procrustes_loss(
@@ -52,10 +52,11 @@ def procrustes_loss(
     tr_s = jnp.sum(s_w * s_w, axis=(1, 2))
     tr_t = jnp.sum(t_w * t_w, axis=(1, 2))
     cross = jnp.einsum(
-        "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32
+        "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )  # (B, D_s, D_t)
-    # production path: Newton-Schulz polar nuclear norm (matmuls only,
-    # gradient = polar factor); eigh path kept as the accuracy oracle
-    nuc = nuclear_norm_ns(cross) if use_newton_schulz else nuclear_norm(cross)
+    # production path: Gram-side Newton-Schulz sqrt nuclear norm (small-side
+    # matmuls only, gradient = polar factor); eigh path is the accuracy oracle
+    nuc = nuclear_norm_gram(cross) if use_newton_schulz else nuclear_norm(cross)
 
     return jnp.mean(tr_s + tr_t - 2.0 * nuc)

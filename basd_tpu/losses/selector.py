@@ -39,10 +39,20 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.spectral import (
-    grassmann_basis,
     marchenko_pastur_rank,
     masked_principal_angle_distance,
+    topk_basis,
 )
+
+# Static cap on extracted subspace width. Full-width bases require one
+# 192x192 eigh per teacher layer / extraction point, and XLA's TPU eigh
+# serializes over the batch (~1 ms/matrix, measured) — it dominated step
+# time. With a K-cap, bases come from matmul-only subspace iteration and
+# the principal-angle spectra shrink to K x K. Exactness: MP ranks of real
+# token features sit far below K (they are noise-thresholded), and any rank
+# is clamped to K, so the rank-masked distance is unchanged whenever
+# rank <= K — the same padding argument as in basd_tpu/spectral/ops.py.
+_DEFAULT_SUBSPACE_K = 96
 
 
 class SelectorState(NamedTuple):
@@ -74,6 +84,8 @@ def select_and_mix(
     student_tokens: jax.Array,  # (P, B, N_s, D_s) extraction-point tokens
     teacher_tokens: jax.Array,  # (L, B, N_t, D_t) all-layer teacher tokens
     teacher_importance: jax.Array,  # (L, B, N_t) attention importance
+    *,
+    subspace_k: int | None = None,  # static; None -> min(96, D_s - 1)
 ) -> tuple[jax.Array, jax.Array, dict]:
     """Soft-select teacher layers per extraction point.
 
@@ -84,27 +96,34 @@ def select_and_mix(
     p, b, n_s, d_s = student_tokens.shape
     l, _, n_t, d_t = teacher_tokens.shape
 
+    if subspace_k is None:
+        subspace_k = min(_DEFAULT_SUBSPACE_K, d_s - 1)
+    k = min(subspace_k, d_s - 1, b * n_s, b * n_t)
+
     # ---- teacher statistics (no_grad, global batch) ----
     t_flat = jax.lax.stop_gradient(
         teacher_tokens.astype(jnp.float32).reshape(l, b * n_t, d_t)
     )
     z_t = jnp.einsum(
-        "lmd,ed->lme", t_flat, state.proj_t, preferred_element_type=jnp.float32
+        "lmd,ed->lme", t_flat, state.proj_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )  # (L, M_t, D_s)
 
     ranks = marchenko_pastur_rank(z_t)  # (L,)
-    # cap at D_s - 1 (reference layer_selector.py:74); floor at 1 keeps the
-    # weighted distance defined when MP finds no signal eigenvalue.
-    ranks = jnp.clip(ranks, 1, d_s - 1)
+    # cap at D_s - 1 (reference layer_selector.py:74) and at the static
+    # subspace width; floor at 1 keeps the weighted distance defined when
+    # MP finds no signal eigenvalue.
+    ranks = jnp.clip(ranks, 1, k)
 
-    basis_t, svals_t = grassmann_basis(z_t)  # (L, D_s, D_s), (L, D_s)
+    basis_t, svals_t = topk_basis(z_t, k)  # (L, D_s, K), (L, K)
 
     # ---- student subspaces (differentiable) ----
     s_flat = student_tokens.astype(jnp.float32).reshape(p, b * n_s, d_s)
     z_s = jnp.einsum(
-        "pmd,ed->pme", s_flat, state.proj_s, preferred_element_type=jnp.float32
+        "pmd,ed->pme", s_flat, state.proj_s, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
-    basis_s, _ = grassmann_basis(z_s)  # (P, D_s, D_s)
+    basis_s, _ = topk_basis(z_s, k)  # (P, D_s, K)
 
     # ---- spectrally-weighted principal angles, all (P, L) pairs at once ----
     d2 = masked_principal_angle_distance(

@@ -3,6 +3,8 @@ from basd_tpu.spectral.ops import (  # noqa: F401
     marchenko_pastur_rank,
     masked_principal_angle_distance,
     nuclear_norm,
+    nuclear_norm_gram,
     nuclear_norm_ns,
     svdvals_psd,
+    topk_basis,
 )

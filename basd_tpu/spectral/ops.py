@@ -32,8 +32,48 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _F32 = jnp.float32
+# TPU fp32 einsums default to single-pass bf16 on the MXU; the Newton-
+# Schulz iterations and Gram spectra need true fp32 arithmetic (the coupled
+# sqrt iteration amplifies bf16 rounding into divergence/NaN).
+_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.custom_jvp
+def _eigh_safe(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """eigh with a gap-regularized JVP.
+
+    The stock eigh JVP divides eigenvector tangents by eigenvalue gaps,
+    which blows up to NaN on the (physically meaningless, rotation-
+    arbitrary) near-degenerate noise tail of token Gram spectra — and the
+    student-side basis IS differentiated (reference gradient contract).
+    Regularizing F_ij = gap / (gap^2 + eps^2) keeps gradients finite while
+    matching the exact JVP wherever gaps are resolved."""
+    return jnp.linalg.eigh(a)
+
+
+@_eigh_safe.defjvp
+def _eigh_safe_jvp(primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    w, v = _eigh_safe(a)
+    da_sym = (da + jnp.swapaxes(da, -1, -2)) * 0.5
+    vt_da_v = jnp.einsum(
+        "...ji,...jk,...kl->...il", v, da_sym, v, preferred_element_type=_F32, precision=_HI
+    )
+    dw = jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
+    gap = w[..., None, :] - w[..., :, None]  # gap[i, j] = w_j - w_i
+    scale = jnp.max(jnp.abs(w), axis=-1, keepdims=True)[..., None]
+    eps = 1e-6 * jnp.maximum(scale, 1e-30)
+    f = gap / (gap * gap + eps * eps)
+    d = w.shape[-1]
+    f = f * (1.0 - jnp.eye(d, dtype=a.dtype))
+    dv = jnp.einsum(
+        "...ik,...kj->...ij", v, f * vt_da_v, preferred_element_type=_F32, precision=_HI
+    )
+    return (w, v), (dw, dv)
 
 
 def _eigh_desc(gram: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -43,7 +83,7 @@ def _eigh_desc(gram: jax.Array) -> tuple[jax.Array, jax.Array]:
     the i-th eigenvector.
     """
     gram = (gram + jnp.swapaxes(gram, -1, -2)) * 0.5
-    w, v = jnp.linalg.eigh(gram)
+    w, v = _eigh_safe(gram)
     return w[..., ::-1], v[..., ::-1]
 
 
@@ -51,7 +91,7 @@ def centered_gram(z: jax.Array) -> jax.Array:
     """(..., M, D) -> (..., D, D) fp32 Gram of the column-centered matrix."""
     z = z.astype(_F32)
     zc = z - jnp.mean(z, axis=-2, keepdims=True)
-    return jnp.einsum("...md,...me->...de", zc, zc, preferred_element_type=_F32)
+    return jnp.einsum("...md,...me->...de", zc, zc, preferred_element_type=_F32, precision=_HI)
 
 
 def grassmann_basis(z: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -78,7 +118,7 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
     """
     m, d = x.shape[-2], x.shape[-1]
     x = x.astype(_F32)
-    cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32) / m
+    cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_HI) / m
     cov = (cov + jnp.swapaxes(cov, -1, -2)) * 0.5
     eigvals = jnp.linalg.eigvalsh(cov)
     sigma2 = jnp.median(eigvals, axis=-1)
@@ -94,7 +134,7 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
 
 def _svdvals_fwd_math(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     """sigma (desc) and left-singular basis U of (..., m, n) with m <= n."""
-    gram = jnp.einsum("...ij,...kj->...ik", a, a, preferred_element_type=_F32)
+    gram = jnp.einsum("...ij,...kj->...ik", a, a, preferred_element_type=_F32, precision=_HI)
     eigvals, u = _eigh_desc(gram)
     sigma = jnp.sqrt(jnp.clip(eigvals, 0.0, None))
     return sigma, u
@@ -120,7 +160,7 @@ def _svdvals_bwd(res, g):
     coef = jnp.where(safe, g / jnp.where(safe, sigma, 1.0), 0.0)
     grad = jnp.einsum(
         "...ik,...k,...jk,...jn->...in", u, coef, u, a,
-        preferred_element_type=_F32,
+        preferred_element_type=_F32, precision=_HI,
     )
     return (grad.astype(a.dtype),)
 
@@ -172,7 +212,7 @@ def _nuc_bwd(res, g):
     coef = jnp.where(safe, 1.0 / jnp.where(safe, sigma, 1.0), 0.0)
     grad = jnp.einsum(
         "...ik,...k,...jk,...jn->...in", u, coef, u, a,
-        preferred_element_type=_F32,
+        preferred_element_type=_F32, precision=_HI,
     )
     grad = grad * g[..., None, None]
     if transposed:
@@ -196,7 +236,7 @@ def _polar_newton_schulz(c: jax.Array, iters: int) -> jax.Array:
     x = c / jnp.maximum(scale, jnp.finfo(_F32).tiny)
     for _ in range(iters):
         xxt_x = jnp.einsum(
-            "...ij,...kj,...kl->...il", x, x, x, preferred_element_type=_F32
+            "...ij,...kj,...kl->...il", x, x, x, preferred_element_type=_F32, precision=_HI
         )
         x = 1.5 * x - 0.5 * xxt_x
     return x
@@ -230,6 +270,133 @@ nuclear_norm_ns.defvjp(_nuc_ns_fwd, _nuc_ns_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Gram-side Newton-Schulz matrix square root: the fastest nuclear-norm path
+# ---------------------------------------------------------------------------
+
+
+def _ns_sqrt_pair(a: jax.Array, iters: int) -> tuple[jax.Array, jax.Array]:
+    """Coupled Newton-Schulz for (Y, Z) -> (A^1/2, A^-1/2), PSD A with
+    spectral radius <= 1. Pure batched d x d matmuls."""
+    d = a.shape[-1]
+    eye = jnp.eye(d, dtype=a.dtype)
+    y, z = a, jnp.broadcast_to(eye, a.shape)
+    for _ in range(iters):
+        t = 0.5 * (3.0 * eye - jnp.einsum(
+            "...ij,...jk->...ik", z, y, preferred_element_type=_F32, precision=_HI))
+        y = jnp.einsum("...ij,...jk->...ik", y, t, preferred_element_type=_F32, precision=_HI)
+        z = jnp.einsum("...ij,...jk->...ik", t, z, preferred_element_type=_F32, precision=_HI)
+    return y, z
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def nuclear_norm_gram(c: jax.Array, iters: int = 18) -> jax.Array:
+    """||C||_nuc = tr((C C^T)^1/2) via Newton-Schulz on the SMALL-side Gram.
+
+    The fastest TPU formulation found for the Procrustes loss: one Gram
+    matmul + `iters` rounds of three (d_min x d_min) batched matmuls —
+    ~5x fewer FLOPs and far less HBM traffic than Newton-Schulz polar on
+    the full rectangular C, and the coupled iteration yields A^-1/2 as a
+    byproduct, so the exact subgradient  d||C||_nuc/dC = (CC^T)^-1/2 C
+    (the polar factor) is one extra matmul in backward.
+
+    Scaling by tr(H) puts every eigenvalue of A = H/tr(H) in (0, 1]; in
+    eigenvalue coordinates the coupled iteration satisfies y_k z_k = m_k,
+    y_k/z_k = x (invariant), with m' = m(3-m)^2/4 -> 1, so the value
+    estimate sum_i sqrt(m_i) sigma_i is a monotone lower bound of the
+    nuclear norm and the gradient's singular values sqrt(m_i) <= 1 keep it
+    a valid subgradient at every iteration count — no epsilon needed."""
+    value, _ = _nuc_gram_fwd(c, iters)
+    return value
+
+
+def _nuc_gram_fwd(c, iters):
+    m, n = c.shape[-2], c.shape[-1]
+    a_side = c if m <= n else jnp.swapaxes(c, -1, -2)
+    cf = a_side.astype(_F32)
+    h = jnp.einsum("...ij,...kj->...ik", cf, cf, preferred_element_type=_F32, precision=_HI)
+    s = jnp.trace(h, axis1=-2, axis2=-1)[..., None, None]
+    s = jnp.maximum(s, jnp.finfo(_F32).tiny)
+    y, z = _ns_sqrt_pair(h / s, iters)
+    value = jnp.sqrt(s[..., 0, 0]) * jnp.trace(y, axis1=-2, axis2=-1)
+    # polar subgradient P = H^-1/2 C = (Z @ C) / sqrt(s)
+    grad = jnp.einsum(
+        "...ij,...jk->...ik", z, cf, preferred_element_type=_F32, precision=_HI
+    ) / jnp.sqrt(s)
+    if m > n:
+        grad = jnp.swapaxes(grad, -1, -2)
+    return value, grad.astype(c.dtype)
+
+
+def _nuc_gram_bwd(iters, grad, g):
+    return (g[..., None, None] * grad,)
+
+
+nuclear_norm_gram.defvjp(
+    lambda c, iters: _nuc_gram_fwd(c, iters), _nuc_gram_bwd
+)
+
+
+# ---------------------------------------------------------------------------
+# Top-k eigenbasis via subspace iteration (matmuls + one small eigh)
+# ---------------------------------------------------------------------------
+
+
+def _polar_orthonormalize(v: jax.Array, iters: int = 14) -> jax.Array:
+    """orth(V) = V (V^T V)^-1/2 via Newton-Schulz polar on the tall matrix:
+    X <- 1.5 X - 0.5 X (X^T X). Column-space preserving, all matmuls."""
+    scale = jnp.sqrt(
+        jnp.sum(v * v, axis=(-2, -1), keepdims=True)
+    )
+    x = v / jnp.maximum(scale, jnp.finfo(_F32).tiny)
+    for _ in range(iters):
+        gram = jnp.einsum("...di,...dj->...ij", x, x,
+                          preferred_element_type=_F32, precision=_HI)
+        x = 1.5 * x - 0.5 * jnp.einsum(
+            "...di,...ij->...dj", x, gram, preferred_element_type=_F32, precision=_HI)
+    return x
+
+
+def topk_basis(
+    z: jax.Array, k: int, *, g_iters: int = 6, polar_iters: int = 14
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k right-singular basis + singular values of the centered matrix
+    (..., M, D) — the K-capped, MXU-only replacement for `grassmann_basis`.
+
+    XLA's TPU eigh runs ~1 ms per 192x192 matrix and serializes over the
+    batch (measured), which made full-basis extraction the dominant step
+    cost. Subspace iteration with Newton-Schulz polar orthonormalization is
+    pure batched matmuls; one final k x k Rayleigh-Ritz eigh (cheap) orders
+    the basis and recovers eigenvalues. Differentiable end-to-end (the
+    student path needs gradients).
+
+    The deterministic start V0 is a fixed numpy Gaussian (same for every
+    call) so results are reproducible and jit-constant-foldable.
+    """
+    g = centered_gram(z)  # (..., D, D)
+    d = g.shape[-1]
+    v0 = np.asarray(
+        np.random.default_rng(20_240_601).standard_normal((d, k)),
+        np.float32,
+    )
+    v = jnp.broadcast_to(v0, (*g.shape[:-2], d, k))
+    # scale-normalize G so powers stay in fp32 range
+    gnorm = jnp.sqrt(jnp.sum(g * g, axis=(-2, -1), keepdims=True))
+    gn = g / jnp.maximum(gnorm, jnp.finfo(_F32).tiny)
+    for _ in range(g_iters):
+        v = jnp.einsum("...de,...ek->...dk", gn, v,
+                       preferred_element_type=_F32, precision=_HI)
+        v = _polar_orthonormalize(v, polar_iters)
+    # Rayleigh-Ritz on the original-scale Gram
+    r = jnp.einsum("...dk,...de,...el->...kl", v, g, v,
+                   preferred_element_type=_F32, precision=_HI)
+    eigvals, u = _eigh_desc(r)
+    basis = jnp.einsum("...dk,...kl->...dl", v, u,
+                       preferred_element_type=_F32, precision=_HI)
+    svals = jnp.sqrt(jnp.clip(eigvals, 0.0, None))
+    return basis, svals
+
+
+# ---------------------------------------------------------------------------
 # Masked principal angles
 # ---------------------------------------------------------------------------
 
@@ -254,7 +421,7 @@ def masked_principal_angle_distance(
 
     cross = jnp.einsum(
         "...di,...dj->...ij", basis_s.astype(_F32), basis_t.astype(_F32),
-        preferred_element_type=_F32,
+        preferred_element_type=_F32, precision=_HI,
     )
     cross = cross * mask[..., :, None] * mask[..., None, :]
     sigma = svdvals_psd(cross)

@@ -247,3 +247,48 @@ class TestNuclearNormNewtonSchulz:
             jax.grad(lambda x: jnp.sum(nuclear_norm_ns(x)))(c)
         )
         assert np.all(v == 0) and np.all(np.isfinite(g))
+
+
+class TestTopkBasis:
+    def test_matches_full_eigh(self):
+        from basd_tpu.spectral import topk_basis
+
+        rng = np.random.default_rng(30)
+        z = _low_rank_plus_noise(rng, 400, 24, 6).astype(np.float32)
+        k = 8
+        basis, svals = topk_basis(jnp.asarray(z[None]), k)
+        basis, svals = np.asarray(basis[0]), np.asarray(svals[0])
+
+        zc = z - z.mean(0, keepdims=True)
+        want_svals = np.linalg.svd(zc, compute_uv=False)[:k]
+        # signal singular values converge; the noise tail is nearly
+        # degenerate, so any basis of it is valid (and carries ~zero
+        # spectral weight downstream)
+        np.testing.assert_allclose(svals[:6], want_svals[:6], rtol=1e-2)
+
+        _, _, vt = np.linalg.svd(zc.astype(np.float64), full_matrices=False)
+        want_proj = vt[:6].T @ vt[:6]
+        got_proj = basis[:, :6] @ basis[:, :6].T
+        np.testing.assert_allclose(got_proj, want_proj, atol=2e-2)
+
+    def test_orthonormal_columns(self):
+        from basd_tpu.spectral import topk_basis
+
+        rng = np.random.default_rng(31)
+        z = rng.normal(size=(3, 200, 16)).astype(np.float32)
+        basis, _ = topk_basis(jnp.asarray(z), 8)
+        for b in np.asarray(basis):
+            np.testing.assert_allclose(b.T @ b, np.eye(8), atol=5e-3)
+
+    def test_differentiable(self):
+        from basd_tpu.spectral import topk_basis
+
+        rng = np.random.default_rng(32)
+        z = rng.normal(size=(100, 10)).astype(np.float32)
+
+        def f(z):
+            basis, svals = topk_basis(z[None], 4)
+            return jnp.sum(svals) + jnp.sum(basis**2)
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(z)))
+        assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
