@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.losses.interpolate import align_vector
-from basd_tpu.spectral import nuclear_norm, nuclear_norm_gram
+from basd_tpu.spectral import nuclear_norm, nuclear_norm_gram, nuclear_norm_pair
 
 
 def procrustes_loss(
@@ -51,12 +51,19 @@ def procrustes_loss(
 
     tr_s = jnp.sum(s_w * s_w, axis=(1, 2))
     tr_t = jnp.sum(t_w * t_w, axis=(1, 2))
-    cross = jnp.einsum(
-        "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-    )  # (B, D_s, D_t)
-    # production path: Gram-side Newton-Schulz sqrt nuclear norm (small-side
-    # matmuls only, gradient = polar factor); eigh path is the accuracy oracle
-    nuc = nuclear_norm_gram(cross) if use_newton_schulz else nuclear_norm(cross)
+
+    if use_newton_schulz and n_s <= min(s.shape[-1], t.shape[-1]):
+        # token-side Newton-Schulz: every matmul is (N x N), the cross-
+        # covariance is never materialized, gradient = polar subgradient
+        nuc = nuclear_norm_pair(s_w, t_w)
+    else:
+        cross = jnp.einsum(
+            "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, D_s, D_t)
+        nuc = (
+            nuclear_norm_gram(cross) if use_newton_schulz
+            else nuclear_norm(cross)  # eigh accuracy oracle
+        )
 
     return jnp.mean(tr_s + tr_t - 2.0 * nuc)

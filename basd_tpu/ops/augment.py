@@ -170,7 +170,8 @@ _GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
 def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
     """Warp (B, H, W, C) by per-sample inverse affine 2x3 matrices mapping
     output pixel coords -> input coords (about the image center), bilinear,
-    zero fill."""
+    zero fill. Gather-based fallback path for large images (TPU gathers are
+    slow; small images use the shear decomposition in `_geometric_warp`)."""
     b, h, w, c = images.shape
     yy, xx = np.meshgrid(
         np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
@@ -193,6 +194,102 @@ def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
     return jax.vmap(warp_one)(images, mats)
 
 
+def _shift_axis(images: jax.Array, delta: jax.Array, axis: int,
+                max_shift: int) -> jax.Array:
+    """Shift rows/columns by a per-(sample, line) CONTINUOUS amount with
+    bilinear weights and zero fill, using dense static shifts: out =
+    sum_t w_t(delta) * slice_t(padded). Static slices of a zero-padded
+    array are pure relayouts, so this is VPU-only work — no gathers.
+
+    axis=2: shift along W with delta (B, H). axis=1: shift along H with
+    delta (B, W). Sampling convention: out[x] = in[x + delta]."""
+    b = images.shape[0]
+    n = images.shape[axis]
+    t0 = max_shift
+    taps = range(-max_shift, max_shift + 1)
+    if axis == 2:
+        padded = jnp.pad(images, ((0, 0), (0, 0), (t0, t0), (0, 0)))
+        acc = jnp.zeros_like(images)
+        for t in taps:
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(delta - t))  # (B, H)
+            acc = acc + wgt[:, :, None, None] * jax.lax.slice_in_dim(
+                padded, t0 + t, t0 + t + n, axis=2
+            )
+        return acc
+    padded = jnp.pad(images, ((0, 0), (t0, t0), (0, 0), (0, 0)))
+    acc = jnp.zeros_like(images)
+    for t in taps:
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(delta - t))  # (B, W)
+        acc = acc + wgt[:, None, :, None] * jax.lax.slice_in_dim(
+            padded, t0 + t, t0 + t + n, axis=1
+        )
+    return acc
+
+
+def _quarter_turn(images: jax.Array, k: jax.Array) -> jax.Array:
+    """Per-sample lossless rotation by k*90 degrees (k in {0,1,2,3})."""
+    r0 = images
+    r1 = jnp.flip(jnp.swapaxes(images, 1, 2), axis=1)  # 90 ccw
+    r2 = jnp.flip(jnp.flip(images, axis=1), axis=2)  # 180
+    r3 = jnp.flip(jnp.swapaxes(images, 1, 2), axis=2)  # 270 ccw
+    stack = jnp.stack([r0, r1, r2, r3])  # (4, B, H, W, C)
+    sel = jax.nn.one_hot(k, 4, dtype=images.dtype)  # (B, 4)
+    return jnp.einsum("rbhwc,br->bhwc", stack, sel)
+
+
+def _geometric_warp(
+    images: jax.Array,
+    angle: jax.Array,  # (B,) inverse-map rotation, radians
+    shear_x: jax.Array,  # (B,) inverse-map x shear
+    shear_y: jax.Array,  # (B,) inverse-map y shear
+    trans_x: jax.Array,  # (B,) inverse-map x translation, pixels
+    trans_y: jax.Array,  # (B,) inverse-map y translation, pixels
+) -> jax.Array:
+    """TPU-native rotate/shear/translate: quarter-turn + Paeth three-shear
+    decomposition, each shear a dense-shift separable pass (no gathers).
+
+    Exactly one of {angle, shear_x, shear_y, (trans_x, trans_y)} is nonzero
+    per sample (TrivialAugment applies a single op), so the shear passes
+    compose without cross terms. The inverse rotation R(psi) splits into a
+    lossless k*90-degree turn plus a residual |psi_r| <= 45 degrees =
+    Sx(-tan(psi_r/2)) Sy(sin(psi_r)) Sx(-tan(psi_r/2)); translations fold
+    into the shear passes. Requires square images.
+    """
+    b, h, w, c = images.shape
+    assert h == w, "geometric warp expects square images"
+    cy = (h - 1) / 2.0
+
+    # split inverse rotation into quarter turns + residual
+    quarter = jnp.round(angle / (jnp.pi / 2.0))
+    k = jnp.mod(quarter.astype(jnp.int32), 4)
+    residual = angle - quarter * (jnp.pi / 2.0)  # [-45, 45] degrees
+
+    out = _quarter_turn(images, k)
+
+    paeth = -jnp.tan(residual / 2.0)
+    alpha = paeth + shear_x  # first x pass shear
+    beta = jnp.sin(residual) + shear_y
+    gamma = paeth
+
+    lane = jnp.arange(h, dtype=jnp.float32) - cy  # (H,)
+
+    # pass 1: x shear (alpha) + x translation
+    delta_x1 = alpha[:, None] * lane[None, :] + trans_x[:, None]  # (B, H)
+    max_x = int(np.ceil(0.415 * cy + 32.0)) + 1
+    out = _shift_axis(out, delta_x1, axis=2, max_shift=min(max_x, w))
+
+    # pass 2: y shear (beta) + y translation
+    delta_y = beta[:, None] * lane[None, :] + trans_y[:, None]  # (B, W)
+    max_y = int(np.ceil(1.0 * cy + 32.0)) + 1
+    out = _shift_axis(out, delta_y, axis=1, max_shift=min(max_y, h))
+
+    # pass 3: x shear (gamma)
+    delta_x2 = gamma[:, None] * lane[None, :]  # (B, H)
+    max_x2 = int(np.ceil(0.415 * cy)) + 1
+    out = _shift_axis(out, delta_x2, axis=2, max_shift=min(max_x2, w))
+    return out
+
+
 def _blur3(images: jax.Array) -> jax.Array:
     """PIL SMOOTH-style 3x3 blur used by sharpness (kernel 1/13 with center
     5/13), edges kept (torchvision keeps the border pixels unblurred)."""
@@ -213,30 +310,49 @@ def _blur3(images: jax.Array) -> jax.Array:
 
 
 def _equalize(images: jax.Array) -> jax.Array:
-    """PIL-style histogram equalization per image per channel (uint8 space)."""
-    u8 = jnp.clip(images * 255.0, 0, 255).astype(jnp.int32)
+    """PIL-style histogram equalization per image per channel (uint8 space).
 
-    def eq_channel(ch_flat):  # (H*W,)
-        hist = jnp.bincount(ch_flat, length=256)
-        # PIL rule: step = (total - last_nonzero_count) // 255
-        nonzero = hist > 0
-        last_nz = 255 - jnp.argmax(nonzero[::-1])
-        step = (jnp.sum(hist) - hist[last_nz]) // 255
-        cum = jnp.cumsum(hist)
-        lut = jnp.where(
-            step > 0,
-            jnp.clip(
-                (cum - hist + step // 2) // jnp.maximum(step, 1), 0, 255
-            ),
-            jnp.arange(256),
-        )
-        return lut[ch_flat]
-
+    Scatter-free TPU formulation: pixels are one-hot encoded once (bf16) and
+    both the cumulative histogram (matmul with a static upper-triangular
+    ones matrix) and the final LUT application (matmul with the LUT) run on
+    the MXU — bincount/gather lowered to TPU scatters measured ~5x slower.
+    Bit-exact vs PIL (integer LUT arithmetic in int32)."""
     b, h, w, c = images.shape
+    u8 = jnp.clip(images * 255.0, 0, 255).astype(jnp.int32)  # trunc = torchvision float->uint8
     flat = u8.transpose(0, 3, 1, 2).reshape(b * c, h * w)
-    out = jax.vmap(eq_channel)(flat)
+
+    onehot = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16)  # (BC, HW, 256)
+    upper = np.triu(np.ones((256, 256), np.float32)).astype(np.float16)  # exact 0/1
+    # cum[p, v] = #pixels <= v ; exact: counts <= HW fit in bf16-accum f32
+    cum = jnp.einsum(
+        "phv,vw->pw", onehot, upper, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (BC, 256)
+    hist = jnp.diff(cum, axis=-1, prepend=0)
+
+    nonzero = hist > 0
+    last_nz = 255 - jnp.argmax(nonzero[:, ::-1], axis=-1)  # (BC,)
+    total = cum[:, -1]
+    last_count = jnp.take_along_axis(hist, last_nz[:, None], axis=-1)[:, 0]
+    step = (total - last_count) // 255  # (BC,)
+
+    ramp = jnp.arange(256, dtype=jnp.int32)
+    lut = jnp.where(
+        (step > 0)[:, None],
+        jnp.clip(
+            (cum - hist + (step // 2)[:, None])
+            // jnp.maximum(step, 1)[:, None],
+            0,
+            255,
+        ),
+        ramp[None, :],
+    )  # (BC, 256)
+
+    out = jnp.einsum(
+        "phv,pv->ph", onehot, lut.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # LUT values <= 255 are exact in bf16
     out = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
-    return out.astype(jnp.float32) / 255.0
+    return out / 255.0
 
 
 def _autocontrast(images: jax.Array) -> jax.Array:
@@ -269,27 +385,36 @@ def trivial_augment_wide(images: jax.Array, rng: jax.Array) -> jax.Array:
     trans_y = jnp.where(is_op(_OP_TRANSLATE_Y), sm * 32.0, 0.0)
     angle = jnp.where(is_op(_OP_ROTATE), sm * 135.0, 0.0) * (jnp.pi / 180.0)
 
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    # forward op: rotate + shear + translate; build inverse map out->in.
-    # inverse of [[c, -s], [s, c]] @ [[1, shx], [shy, 1]] with translation.
-    a11 = cos - sin * shear_y
-    a12 = cos * shear_x - sin
-    a21 = sin + cos * shear_y
-    a22 = sin * shear_x + cos
-    det = a11 * a22 - a12 * a21
-    inv11, inv12 = a22 / det, -a12 / det
-    inv21, inv22 = -a21 / det, a11 / det
-    # output (y, x): in = inv @ (out - t); translation in (x, y) pixels
-    mats = jnp.stack(
-        [
-            jnp.stack([inv22, inv21, -(inv22 * trans_y + inv21 * trans_x)], -1),
-            jnp.stack([inv12, inv11, -(inv12 * trans_y + inv11 * trans_x)], -1),
-        ],
-        axis=-2,
-    )  # (B, 2, 3) acting on (y, x, 1)
     geo = is_op(_OP_SHEAR_X) | is_op(_OP_SHEAR_Y) | is_op(_OP_TRANSLATE_X) \
         | is_op(_OP_TRANSLATE_Y) | is_op(_OP_ROTATE)
-    out = jnp.where(geo[:, None, None, None], _affine_warp(images, mats), images)
+    h, w = images.shape[1], images.shape[2]
+    if h == w and h <= 64:
+        # gather-free shear-decomposition warp (identity when params are 0,
+        # so no geo-mask select is needed; sign conventions are immaterial
+        # because magnitudes carry a random sign)
+        warped = _geometric_warp(images, angle, shear_x, shear_y,
+                                 trans_x, trans_y)
+        out = jnp.where(geo[:, None, None, None], warped, images)
+    else:
+        cos, sin = jnp.cos(angle), jnp.sin(angle)
+        # forward op: rotate + shear + translate; build inverse map out->in.
+        a11 = cos - sin * shear_y
+        a12 = cos * shear_x - sin
+        a21 = sin + cos * shear_y
+        a22 = sin * shear_x + cos
+        det = a11 * a22 - a12 * a21
+        inv11, inv12 = a22 / det, -a12 / det
+        inv21, inv22 = -a21 / det, a11 / det
+        mats = jnp.stack(
+            [
+                jnp.stack([inv22, inv21, -(inv22 * trans_y + inv21 * trans_x)], -1),
+                jnp.stack([inv12, inv11, -(inv12 * trans_y + inv11 * trans_x)], -1),
+            ],
+            axis=-2,
+        )  # (B, 2, 3) acting on (y, x, 1)
+        out = jnp.where(
+            geo[:, None, None, None], _affine_warp(images, mats), images
+        )
 
     # ---- photometric ops with neutral defaults ----
     factor = 1.0 + sm * 0.99

@@ -5,6 +5,7 @@ from basd_tpu.spectral.ops import (  # noqa: F401
     nuclear_norm,
     nuclear_norm_gram,
     nuclear_norm_ns,
+    nuclear_norm_pair,
     svdvals_psd,
     topk_basis,
 )

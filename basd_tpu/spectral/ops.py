@@ -337,6 +337,85 @@ nuclear_norm_gram.defvjp(
 
 
 # ---------------------------------------------------------------------------
+# Token-side pair nuclear norm: ||S^T T||_nuc on the smallest dimension
+# ---------------------------------------------------------------------------
+
+
+def _ns_sqrt_pair_general(w: jax.Array, iters: int) -> tuple[jax.Array, jax.Array]:
+    """Coupled Newton-Schulz (Y, Z) -> (W^1/2, W^-1/2) for W with
+    nonnegative real spectrum and spectral radius <= 1 (here W is a product
+    of two PSD matrices, hence similar to a symmetric PSD matrix)."""
+    d = w.shape[-1]
+    eye = jnp.eye(d, dtype=w.dtype)
+    y, z = w, jnp.broadcast_to(eye, w.shape)
+    for _ in range(iters):
+        t = 0.5 * (3.0 * eye - jnp.einsum(
+            "...ij,...jk->...ik", z, y, preferred_element_type=_F32,
+            precision=_HI))
+        y = jnp.einsum("...ij,...jk->...ik", y, t,
+                       preferred_element_type=_F32, precision=_HI)
+        z = jnp.einsum("...ij,...jk->...ik", t, z,
+                       preferred_element_type=_F32, precision=_HI)
+    return y, z
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def nuclear_norm_pair(s: jax.Array, t: jax.Array, iters: int = 18) -> jax.Array:
+    """||S^T T||_nuc for S (..., N, D_s), T (..., N, D_t) — computed on the
+    TOKEN side when N is the smallest dimension.
+
+    Key identity: with H = S^T (T T^T) S and W = (T T^T)(S S^T),
+    H^k S^T = S^T W^k, so tr((C C^T)^1/2) = tr(W^1/2) and the polar
+    subgradient lives on the N x N side too:
+
+        dL/dS = (T T^T) W^-T/2 S,    dL/dT = (S S^T) W^-1/2 T.
+
+    For the BASD Procrustes loss (N ~ 64-196 tokens vs D_t = 768) this
+    shrinks every Newton-Schulz matmul from (D_s x D_s) to (N x N) and
+    never materializes the (D_s x D_t) cross-covariance — validated to
+    float64 machine precision against SVD. Falls back to the Gram form via
+    `nuclear_norm_gram` when N is not the smallest axis (handled by the
+    caller)."""
+    value, _ = _nuc_pair_fwd(s, t, iters)
+    return value
+
+
+def _nuc_pair_fwd(s, t, iters):
+    sf = s.astype(_F32)
+    tf = t.astype(_F32)
+    g_t = jnp.einsum("...nd,...md->...nm", tf, tf,
+                     preferred_element_type=_F32, precision=_HI)
+    g_s = jnp.einsum("...nd,...md->...nm", sf, sf,
+                     preferred_element_type=_F32, precision=_HI)
+    w = jnp.einsum("...nm,...mk->...nk", g_t, g_s,
+                   preferred_element_type=_F32, precision=_HI)
+    scale = jnp.trace(w, axis1=-2, axis2=-1)[..., None, None]
+    scale = jnp.maximum(scale, jnp.finfo(_F32).tiny)
+    y, z = _ns_sqrt_pair_general(w / scale, iters)
+    value = jnp.sqrt(scale[..., 0, 0]) * jnp.trace(y, axis1=-2, axis2=-1)
+    z_scaled = z / jnp.sqrt(scale)  # ~ W^{-1/2}
+    return value, (sf, tf, g_s, g_t, z_scaled)
+
+
+def _nuc_pair_bwd(iters, res, g):
+    sf, tf, g_s, g_t, z = res
+    g = g[..., None, None]
+    ds = g * jnp.einsum(
+        "...nm,...km,...kd->...nd", g_t, z, sf,
+        preferred_element_type=_F32, precision=_HI,
+    )  # G_T Z^T S
+    dt = g * jnp.einsum(
+        "...nm,...mk,...kd->...nd", g_s, z, tf,
+        preferred_element_type=_F32, precision=_HI,
+    )  # G_S Z T
+    return ds.astype(sf.dtype), dt.astype(tf.dtype)
+
+
+nuclear_norm_pair.defvjp(lambda s, t, iters: _nuc_pair_fwd(s, t, iters),
+                         _nuc_pair_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Top-k eigenbasis via subspace iteration (matmuls + one small eigh)
 # ---------------------------------------------------------------------------
 

@@ -177,3 +177,63 @@ class TestDualView:
         )
         out = center_crop_resize(x, 8, 8 / 12)  # resize to 12 then crop 8
         assert out.shape == (1, 8, 8, 3)
+
+
+class TestGeometricWarp:
+    def _smooth(self, b=2, s=32):
+        yy, xx = np.mgrid[0:s, 0:s] / s
+        img = (0.5 + 0.3 * np.sin(2 * np.pi * yy) * np.cos(2 * np.pi * xx))
+        return jnp.asarray(
+            np.tile(img[None, :, :, None], (b, 1, 1, 3)).astype(np.float32)
+        )
+
+    def test_rotation_matches_affine_oracle(self):
+        from basd_tpu.ops.augment import _affine_warp, _geometric_warp
+
+        x = self._smooth()
+        for deg in (10.0, 30.0, 135.0, -45.0):
+            ang = float(np.deg2rad(deg))
+            angle = jnp.full((2,), ang, jnp.float32)
+            zero = jnp.zeros((2,), jnp.float32)
+            got = np.asarray(
+                _geometric_warp(x, angle, zero, zero, zero, zero)
+            )
+            c, s = np.cos(ang), np.sin(ang)
+            mats = jnp.asarray(
+                np.tile(np.asarray([[c, s, 0], [-s, c, 0]], np.float32),
+                        (2, 1, 1))
+            )
+            want = np.asarray(_affine_warp(x, mats))
+            diff = np.abs(got[:, 8:-8, 8:-8] - want[:, 8:-8, 8:-8])
+            assert diff.max() < 0.02, (deg, diff.max())
+
+    def test_quarter_turns_exact(self):
+        from basd_tpu.ops.augment import _geometric_warp
+
+        x = _imgs(2, 16)
+        angle = jnp.full((2,), float(np.pi / 2), jnp.float32)
+        zero = jnp.zeros((2,), jnp.float32)
+        got = np.asarray(_geometric_warp(x, angle, zero, zero, zero, zero))
+        want = np.asarray(jnp.flip(jnp.swapaxes(x, 1, 2), axis=1))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_translation_exact(self):
+        from basd_tpu.ops.augment import _geometric_warp
+
+        x = _imgs(2, 16)
+        zero = jnp.zeros((2,), jnp.float32)
+        tx = jnp.full((2,), 3.0, jnp.float32)
+        got = np.asarray(_geometric_warp(x, zero, zero, zero, tx, zero))
+        # out[x] samples in[x+3]: content moves left, right side zero-fills
+        np.testing.assert_allclose(
+            got[:, :, :13], np.asarray(x)[:, :, 3:], atol=1e-5
+        )
+        np.testing.assert_allclose(got[:, :, 13:], 0.0, atol=1e-5)
+
+    def test_identity_params_identity(self):
+        from basd_tpu.ops.augment import _geometric_warp
+
+        x = _imgs(3, 16)
+        zero = jnp.zeros((3,), jnp.float32)
+        got = np.asarray(_geometric_warp(x, zero, zero, zero, zero, zero))
+        np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)

@@ -292,3 +292,46 @@ class TestTopkBasis:
 
         g = np.asarray(jax.grad(f)(jnp.asarray(z)))
         assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
+
+class TestNuclearNormPair:
+    def test_matches_svd(self):
+        from basd_tpu.spectral import nuclear_norm_pair
+
+        rng = np.random.default_rng(40)
+        s = rng.normal(size=(5, 20, 32)).astype(np.float32)
+        t = rng.normal(size=(5, 20, 48)).astype(np.float32)
+        got = np.asarray(nuclear_norm_pair(jnp.asarray(s), jnp.asarray(t)))
+        for i in range(5):
+            want = np.linalg.svd(s[i].T @ t[i], compute_uv=False).sum()
+            np.testing.assert_allclose(got[i], want, rtol=3e-3)
+
+    def test_gradients_match_polar(self):
+        from basd_tpu.spectral import nuclear_norm_pair
+
+        rng = np.random.default_rng(41)
+        s = rng.normal(size=(12, 16)).astype(np.float32)
+        t = rng.normal(size=(12, 24)).astype(np.float32)
+        gs, gt = jax.grad(
+            lambda a, b: jnp.sum(nuclear_norm_pair(a[None], b[None])),
+            argnums=(0, 1),
+        )(jnp.asarray(s), jnp.asarray(t))
+        u, _, vt = np.linalg.svd(s.T @ t, full_matrices=False)
+        p = u @ vt
+        np.testing.assert_allclose(np.asarray(gs), t @ p.T, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(gt), s @ p, atol=5e-3)
+
+    def test_low_rank_safe(self):
+        from basd_tpu.spectral import nuclear_norm_pair
+
+        rng = np.random.default_rng(42)
+        s = np.zeros((1, 10, 16), np.float32)
+        s[0, :, 0] = rng.normal(size=10)
+        t = rng.normal(size=(1, 10, 24)).astype(np.float32)
+        v = np.asarray(nuclear_norm_pair(jnp.asarray(s), jnp.asarray(t)))
+        want = np.linalg.svd(s[0].T @ t[0], compute_uv=False).sum()
+        np.testing.assert_allclose(v[0], want, rtol=1e-2)
+        g = jax.grad(
+            lambda a: jnp.sum(nuclear_norm_pair(a, jnp.asarray(t)))
+        )(jnp.asarray(s))
+        assert np.all(np.isfinite(np.asarray(g)))
