@@ -41,16 +41,48 @@ _F32 = jnp.float32
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
+    """Dispatch policy for the batched Jacobi eigensolver: XLA's TPU eigh
+    serializes over the batch (~1.1 ms per 192x192 matrix measured), while
+    the VMEM-resident Pallas kernel solves the whole batch in parallel
+    (2.4x faster at (48, 96, 96)). CPU and oversized batches fall back to
+    LAPACK/XLA."""
+    import os
+
+    if os.environ.get("BASD_TPU_DISABLE_PALLAS"):
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except RuntimeError:  # pragma: no cover
+        return False
+    n = shape[-1]
+    b = 1
+    for d in shape[:-2]:
+        b *= d
+    # VMEM budget: in + out + 2 scratch (B, n, n) fp32 must fit comfortably
+    return 16 <= n <= 256 and b >= 4 and b * n * n <= 1_000_000
+
+
 @jax.custom_jvp
 def _eigh_safe(a: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """eigh with a gap-regularized JVP.
+    """eigh with a gap-regularized JVP (ascending eigenvalues, like
+    jnp.linalg.eigh).
 
-    The stock eigh JVP divides eigenvector tangents by eigenvalue gaps,
-    which blows up to NaN on the (physically meaningless, rotation-
+    Forward: the batch-parallel Pallas Jacobi kernel on TPU (see
+    `basd_tpu.spectral.pallas_jacobi`), XLA/LAPACK eigh elsewhere.
+
+    JVP: the stock eigh JVP divides eigenvector tangents by eigenvalue
+    gaps, which blows up to NaN on the (physically meaningless, rotation-
     arbitrary) near-degenerate noise tail of token Gram spectra — and the
     student-side basis IS differentiated (reference gradient contract).
     Regularizing F_ij = gap / (gap^2 + eps^2) keeps gradients finite while
     matching the exact JVP wherever gaps are resolved."""
+    if _use_pallas_jacobi(a.shape):
+        from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigh
+
+        w, v = pallas_jacobi_eigh(a)  # descending
+        return w[..., ::-1], v[..., ::-1]
     return jnp.linalg.eigh(a)
 
 
@@ -120,7 +152,12 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
     x = x.astype(_F32)
     cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_HI) / m
     cov = (cov + jnp.swapaxes(cov, -1, -2)) * 0.5
-    eigvals = jnp.linalg.eigvalsh(cov)
+    if _use_pallas_jacobi(cov.shape):
+        from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigvals
+
+        eigvals = pallas_jacobi_eigvals(cov)
+    else:
+        eigvals = jnp.linalg.eigvalsh(cov)
     sigma2 = jnp.median(eigvals, axis=-1)
     q = d / m
     lambda_plus = sigma2 * (1.0 + q**0.5) ** 2

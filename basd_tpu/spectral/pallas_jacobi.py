@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: VMEM-resident batch-parallel cyclic Jacobi eigh.
+
+The pure-JAX formulation in `basd_tpu.spectral.jacobi` is HBM-bound: every
+parallel Jacobi step reads and writes the full (B, n, n) batch from HBM
+(~10 passes/step x ~1000 steps). This kernel keeps A and the eigenvector
+accumulator V in VMEM for the entire iteration — HBM traffic is one load
+and one store — and performs the half-shift pair rotations with VPU
+slice/broadcast arithmetic (no gathers, no flips, no MXU).
+
+Shares the step math (`pair_rotations`, `apply_rows`, `apply_cols`,
+`rotate_positions`) with `jacobi.py`; validated against it and LAPACK.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from basd_tpu.spectral.jacobi import (
+    _sort_desc,
+    _strip_pad,
+    apply_cols,
+    apply_rows,
+    diag_of,
+    pair_rotations,
+    rotate_positions,
+)
+
+
+def _jacobi_kernel(steps: int, a_in_ref, w_ref, vt_ref, a_ref, vs_ref):
+    """Mosaic-friendly formulation: lane-dimension splits/concats compile
+    pathologically, so every pair operation works on the SUBLANE axis and
+    column updates go through transposes (A stays symmetric throughout):
+
+        A'  = J^T A J  = rows(swap(rows(A)))      [rows(X) = J^T X]
+        A'' = P A' P^T = rows_perm(swap(rows_perm(A')))
+
+    The eigenvector accumulator is kept TRANSPOSED (VT = V^T), so its
+    column update V J and column permutation become row operations."""
+    b, n, _ = a_in_ref.shape
+    a_ref[:] = a_in_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row == col).astype(jnp.float32)
+    vs_ref[:] = jnp.broadcast_to(eye, (b, n, n))
+
+    def body(_, carry):
+        a = a_ref[:]
+        vt = vs_ref[:]
+        c, s = pair_rotations(a)
+        a = apply_rows(jnp.swapaxes(apply_rows(a, c, s), 1, 2), c, s)
+        a = rotate_positions(
+            jnp.swapaxes(rotate_positions(a, 1), 1, 2), 1
+        )
+        a_ref[:] = a
+        # VT' = J^T VT, then row permutation (= column permutation of V)
+        vs_ref[:] = rotate_positions(apply_rows(vt, c, s), 1)
+        return carry
+
+    jax.lax.fori_loop(0, steps, body, 0)
+
+    w_ref[:] = diag_of(a_ref[:])
+    vt_ref[:] = vs_ref[:]
+
+
+def _jacobi_eigvals_kernel(steps: int, a_in_ref, w_ref, a_ref):
+    """Eigenvalues-only variant (no eigenvector accumulation) — used by the
+    Marchenko-Pastur rank, which needs the full spectrum but no basis."""
+    a_ref[:] = a_in_ref[:]
+
+    def body(_, carry):
+        a = a_ref[:]
+        c, s = pair_rotations(a)
+        a = apply_rows(jnp.swapaxes(apply_rows(a, c, s), 1, 2), c, s)
+        a_ref[:] = rotate_positions(
+            jnp.swapaxes(rotate_positions(a, 1), 1, 2), 1
+        )
+        return carry
+
+    jax.lax.fori_loop(0, steps, body, 0)
+    w_ref[:] = diag_of(a_ref[:])
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def pallas_jacobi_eigvals(
+    a: jax.Array, *, sweeps: int = 9, interpret: bool = False
+) -> jax.Array:
+    """Eigenvalues (ascending, eigvalsh-compatible) of (..., n, n)."""
+    batch_shape = a.shape[:-2]
+    n0 = a.shape[-1]
+    a = a.reshape((-1, n0, n0)).astype(jnp.float32)
+    a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
+    n = n0 + (n0 % 2)
+    if n != n0:
+        a = jnp.pad(a, ((0, 0), (0, 1), (0, 1)))
+
+    b = a.shape[0]
+    kernel = partial(_jacobi_eigvals_kernel, (n - 1) * sweeps)
+    w = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b, n, n), jnp.float32)],
+        interpret=interpret,
+    )(a)
+    w = jnp.sort(w, axis=-1)
+    if n != n0:
+        # the padded direction contributes exactly one zero eigenvalue;
+        # remove one zero (the smallest-|.| entry)
+        drop = jnp.argmin(jnp.abs(w), axis=-1)
+        keep = jnp.arange(n)[None, :] != drop[:, None]
+        order = jnp.argsort(~keep, axis=-1, stable=True)[:, :n0]
+        w = jnp.take_along_axis(w, order, axis=-1)
+        w = jnp.sort(w, axis=-1)
+    return w.reshape(*batch_shape, n0)
+
+
+def _pallas_eigh_raw(a: jax.Array, sweeps: int, interpret: bool):
+    b, n, _ = a.shape
+    kernel = partial(_jacobi_kernel, (n - 1) * sweeps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, n, n), jnp.float32),
+            pltpu.VMEM((b, n, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a)
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def pallas_jacobi_eigh(
+    a: jax.Array, *, sweeps: int = 9, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """eigh of (..., n, n) symmetric batches, descending eigenvalues.
+
+    Odd n is padded internally; use `interpret=True` for CPU testing.
+    """
+    batch_shape = a.shape[:-2]
+    n0 = a.shape[-1]
+    a = a.reshape((-1, n0, n0)).astype(jnp.float32)
+    a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
+    n = n0 + (n0 % 2)
+    if n != n0:
+        a = jnp.pad(a, ((0, 0), (0, 1), (0, 1)))
+
+    w, vt = _pallas_eigh_raw(a, sweeps, interpret)
+    v = jnp.swapaxes(vt, -1, -2)  # kernel returns V^T
+
+    if n != n0:
+        w, v = _strip_pad(w, v, n0)
+    w, v = _sort_desc(w, v)
+    return w.reshape(*batch_shape, n0), v.reshape(*batch_shape, n0, n0)

@@ -335,3 +335,53 @@ class TestNuclearNormPair:
             lambda a: jnp.sum(nuclear_norm_pair(a, jnp.asarray(t)))
         )(jnp.asarray(s))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestJacobiEigh:
+    def _psd(self, b, n, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(b, n, n)).astype(np.float32)
+        return (x @ np.swapaxes(x, 1, 2)) / n
+
+    @pytest.mark.parametrize("n", [8, 17, 64])
+    def test_matches_lapack(self, n):
+        from basd_tpu.spectral.jacobi import jacobi_eigh
+
+        a = self._psd(3, n)
+        w, v = jacobi_eigh(jnp.asarray(a), sweeps=12)
+        w, v = np.asarray(w), np.asarray(v)
+        want = np.linalg.eigvalsh(a)[:, ::-1]
+        np.testing.assert_allclose(w, want, rtol=1e-4, atol=1e-5)
+        # eigenvector residual + orthonormality
+        res = np.einsum("bij,bjk->bik", a, v) - w[:, None, :] * v
+        assert np.abs(res).max() < 1e-4
+        for vv in v:
+            np.testing.assert_allclose(vv.T @ vv, np.eye(n), atol=1e-4)
+
+    def test_pallas_interpret_matches_pure(self):
+        from basd_tpu.spectral.jacobi import jacobi_eigh
+        from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigh
+
+        a = jnp.asarray(self._psd(2, 16, seed=1))
+        w1, v1 = jacobi_eigh(a, sweeps=10)
+        w2, v2 = pallas_jacobi_eigh(a, sweeps=10, interpret=True)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(v1)), np.abs(np.asarray(v2)), atol=1e-4
+        )
+
+    def test_pallas_eigvals_interpret(self):
+        from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigvals
+
+        a = jnp.asarray(self._psd(2, 12, seed=2))
+        w = np.asarray(pallas_jacobi_eigvals(a, sweeps=12, interpret=True))
+        want = np.linalg.eigvalsh(np.asarray(a))
+        np.testing.assert_allclose(w, want, rtol=1e-4, atol=1e-5)
+
+    def test_pallas_eigvals_odd_n(self):
+        from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigvals
+
+        a = jnp.asarray(self._psd(2, 9, seed=3))
+        w = np.asarray(pallas_jacobi_eigvals(a, sweeps=12, interpret=True))
+        want = np.linalg.eigvalsh(np.asarray(a))
+        np.testing.assert_allclose(w, want, rtol=1e-4, atol=1e-5)
