@@ -58,6 +58,7 @@ def basd_loss(
     teacher_importance: jax.Array,  # (L, B, N_t)
     *,
     label_smoothing: float,
+    subspace_k: int | None = None,
 ) -> tuple[jax.Array, dict]:
     """Full BASD objective (reference `BASDLoss.forward`,
     `combined.py:48-85`). Returns (scalar loss, aux diagnostics)."""
@@ -66,7 +67,8 @@ def basd_loss(
     ce = cross_entropy(student_logits, soft_targets, label_smoothing)
 
     mixed_tokens, mixed_importance, aux = select_and_mix(
-        selector, student_tokens, teacher_tokens, teacher_importance
+        selector, student_tokens, teacher_tokens, teacher_importance,
+        subspace_k=subspace_k,
     )
 
     aligned = align_token_count(mixed_tokens, n_s)  # (P, B, N_s, D_t)

@@ -5,13 +5,14 @@ re-designed for TPU: where the reference dispatches ~80 host-side
 `torch.linalg` calls per step in Python loops over teacher layers and
 extraction points (SURVEY.md section 3.2), this implementation runs
 
-  * ONE batched (L, D_s, D_s) Gram + eigh for all teacher MP ranks,
-  * ONE batched (L, D_s, D_s) Gram + eigh for all teacher subspaces,
-  * ONE batched (P, D_s, D_s) Gram + eigh for all student subspaces,
-  * ONE batched (P, L, D_s, D_s) masked principal-angle spectrum,
+  * ONE batched (L, D_s, D_s) Gram + batch-parallel Jacobi spectrum for
+    all teacher MP ranks (Pallas kernel on TPU),
+  * ONE batched matmul-only subspace iteration for all teacher subspaces
+    and one for all student subspaces (K-capped, `topk_basis`),
+  * ONE batched (P, L, K, K) masked principal-angle spectrum,
 
 entirely inside the jitted train step. Data-dependent MP ranks become rank
-masks over full-width bases (exactness argued in `basd_tpu.spectral.ops`).
+masks over K-capped bases (exactness argued in `basd_tpu.spectral.ops`).
 
 Learnable state: P log-temperatures (softplus-positive), initialized so
 softplus(x) = 1 (reference `layer_selector.py:58-63`). Frozen state: random

@@ -72,6 +72,7 @@ def make_train_step(
     teacher_stats: tuple,
     dataset_stats: tuple,
     num_classes: int,
+    subspace_k: int | None = None,
 ):
     """Build (optimizer, init_fn, step_fn). step_fn is jit-compatible:
     (state, teacher_variables, images_u8 (B,H,W,3), labels (B,))
@@ -128,6 +129,7 @@ def make_train_step(
                 teacher_tokens,
                 teacher_importance,
                 label_smoothing=label_smoothing,
+                subspace_k=subspace_k,
             )
             return loss, (aux, out.logits)
 

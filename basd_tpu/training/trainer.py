@@ -66,6 +66,7 @@ class Trainer:
             teacher_stats=teacher_stats,
             dataset_stats=dataset_stats,
             num_classes=config.model.num_classes,
+            subspace_k=config.basd.get("subspace_k"),
         )
         self.state = init_fn(jax.random.PRNGKey(config.run.seed), selector)
         self._step = jax.jit(step_fn, donate_argnums=0)
