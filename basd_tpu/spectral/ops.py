@@ -54,6 +54,12 @@ def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     try:
         if jax.default_backend() == "cpu":
             return False
+        # conservative: under a multi-chip mesh GSPMD must partition the
+        # pallas_call; until that path is validated on real multi-chip
+        # hardware, fall back to XLA eigh there (single-chip = the
+        # benchmark path - is where the kernel matters today)
+        if jax.device_count() > 1:
+            return False
     except RuntimeError:  # pragma: no cover
         return False
     n = shape[-1]
