@@ -194,36 +194,69 @@ def _affine_warp(images: jax.Array, mats: jax.Array) -> jax.Array:
     return jax.vmap(warp_one)(images, mats)
 
 
+def _shift_axis_taps(
+    images: jax.Array,
+    delta: jax.Array,
+    axis: int,
+    taps: list[int],
+    *,
+    nearest: bool,
+    stride: int = 1,
+) -> jax.Array:
+    """out[x] = interp(in[x + delta]) using the given static tap offsets.
+
+    Static slices of a zero-padded array are pure relayouts, so this is
+    VPU-only work — no gathers. `nearest` selects indicator weights
+    (coarse level of the hierarchical shift, stride > 1); otherwise
+    bilinear tent weights (stride == 1)."""
+    n = images.shape[axis]
+    t0 = max(abs(t) for t in taps)
+    pad = [(0, 0)] * images.ndim
+    pad[axis] = (t0, t0)
+    padded = jnp.pad(images, pad)
+    acc = jnp.zeros_like(images)
+    for t in taps:
+        if nearest:
+            wgt = (jnp.abs(delta - t) <= stride / 2.0).astype(jnp.float32)
+        else:
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(delta - t))
+        shape = [1] * images.ndim
+        shape[0] = images.shape[0]
+        shape[1 if axis == 2 else 2] = wgt.shape[1]
+        acc = acc + wgt.reshape(shape) * jax.lax.slice_in_dim(
+            padded, t0 + t, t0 + t + n, axis=axis
+        )
+    return acc
+
+
 def _shift_axis(images: jax.Array, delta: jax.Array, axis: int,
                 max_shift: int) -> jax.Array:
     """Shift rows/columns by a per-(sample, line) CONTINUOUS amount with
-    bilinear weights and zero fill, using dense static shifts: out =
-    sum_t w_t(delta) * slice_t(padded). Static slices of a zero-padded
-    array are pure relayouts, so this is VPU-only work — no gathers.
+    bilinear weights and zero fill.
 
     axis=2: shift along W with delta (B, H). axis=1: shift along H with
-    delta (B, W). Sampling convention: out[x] = in[x + delta]."""
-    b = images.shape[0]
-    n = images.shape[axis]
-    t0 = max_shift
-    taps = range(-max_shift, max_shift + 1)
-    if axis == 2:
-        padded = jnp.pad(images, ((0, 0), (0, 0), (t0, t0), (0, 0)))
-        acc = jnp.zeros_like(images)
-        for t in taps:
-            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(delta - t))  # (B, H)
-            acc = acc + wgt[:, :, None, None] * jax.lax.slice_in_dim(
-                padded, t0 + t, t0 + t + n, axis=2
-            )
-        return acc
-    padded = jnp.pad(images, ((0, 0), (t0, t0), (0, 0), (0, 0)))
-    acc = jnp.zeros_like(images)
-    for t in taps:
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(delta - t))  # (B, W)
-        acc = acc + wgt[:, None, :, None] * jax.lax.slice_in_dim(
-            padded, t0 + t, t0 + t + n, axis=1
-        )
-    return acc
+    delta (B, W). Sampling convention: out[x] = in[x + delta].
+
+    Small ranges use one dense tap sweep; large ranges decompose
+    hierarchically as delta = stride*k + r (a nearest-neighbor coarse
+    shift over strided taps, then a bilinear fine shift), turning O(range)
+    image passes into O(sqrt(range))."""
+    if max_shift <= 40:
+        taps = list(range(-max_shift, max_shift + 1))
+        return _shift_axis_taps(images, delta, axis, taps, nearest=False)
+
+    stride = max(2, int(np.ceil(np.sqrt(float(max_shift)))))
+    kmax = int(np.ceil(max_shift / stride))
+    k = jnp.clip(jnp.round(delta / stride), -kmax, kmax)
+    residual = delta - k * stride  # |residual| <= stride/2 (+clip slack)
+
+    coarse_taps = [stride * j for j in range(-kmax, kmax + 1)]
+    out = _shift_axis_taps(
+        images, k * stride, axis, coarse_taps, nearest=True, stride=stride
+    )
+    fine = int(np.ceil(stride / 2.0)) + 1
+    fine_taps = list(range(-fine, fine + 1))
+    return _shift_axis_taps(out, residual, axis, fine_taps, nearest=False)
 
 
 def _quarter_turn(images: jax.Array, k: jax.Array) -> jax.Array:
@@ -321,12 +354,18 @@ def _equalize(images: jax.Array) -> jax.Array:
     u8 = jnp.clip(images * 255.0, 0, 255).astype(jnp.int32)  # trunc = torchvision float->uint8
     flat = u8.transpose(0, 3, 1, 2).reshape(b * c, h * w)
 
-    onehot = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16)  # (BC, HW, 256)
-    upper = np.triu(np.ones((256, 256), np.float32)).astype(np.float16)  # exact 0/1
-    # cum[p, v] = #pixels <= v ; exact: counts <= HW fit in bf16-accum f32
-    cum = jnp.einsum(
-        "phv,vw->pw", onehot, upper, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)  # (BC, 256)
+    small = h * w <= 8192  # one-hot matmul memory gate
+    if small:
+        onehot = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16)  # (BC, HW, 256)
+        upper = np.triu(np.ones((256, 256), np.float32)).astype(np.float16)
+        # cum[p, v] = #pixels <= v ; exact: 0/1 values, fp32 accumulation
+        cum = jnp.einsum(
+            "phv,vw->pw", onehot, upper, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # (BC, 256)
+    else:
+        # large images: scatter bincount beats materializing the one-hot
+        hist_raw = jax.vmap(lambda r: jnp.bincount(r, length=256))(flat)
+        cum = jnp.cumsum(hist_raw, axis=-1)
     hist = jnp.diff(cum, axis=-1, prepend=0)
 
     nonzero = hist > 0
@@ -347,10 +386,13 @@ def _equalize(images: jax.Array) -> jax.Array:
         ramp[None, :],
     )  # (BC, 256)
 
-    out = jnp.einsum(
-        "phv,pv->ph", onehot, lut.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # LUT values <= 255 are exact in bf16
+    if small:
+        out = jnp.einsum(
+            "phv,pv->ph", onehot, lut.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # LUT values <= 255 are exact in bf16
+    else:
+        out = jnp.take_along_axis(lut, flat, axis=-1).astype(jnp.float32)
     out = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
     return out / 255.0
 
@@ -388,10 +430,10 @@ def trivial_augment_wide(images: jax.Array, rng: jax.Array) -> jax.Array:
     geo = is_op(_OP_SHEAR_X) | is_op(_OP_SHEAR_Y) | is_op(_OP_TRANSLATE_X) \
         | is_op(_OP_TRANSLATE_Y) | is_op(_OP_ROTATE)
     h, w = images.shape[1], images.shape[2]
-    if h == w and h <= 64:
-        # gather-free shear-decomposition warp (identity when params are 0,
-        # so no geo-mask select is needed; sign conventions are immaterial
-        # because magnitudes carry a random sign)
+    if h == w:
+        # gather-free shear-decomposition warp (identity when params are 0;
+        # sign conventions are immaterial because magnitudes carry a random
+        # sign); non-square images fall back to the gather path
         warped = _geometric_warp(images, angle, shear_x, shear_y,
                                  trans_x, trans_y)
         out = jnp.where(geo[:, None, None, None], warped, images)

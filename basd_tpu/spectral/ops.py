@@ -66,8 +66,9 @@ def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     b = 1
     for d in shape[:-2]:
         b *= d
-    # VMEM budget: in + out + 2 scratch (B, n, n) fp32 must fit comfortably
-    return 16 <= n <= 256 and b >= 4 and b * n * n <= 1_000_000
+    # large batches are chunked over the pallas grid; n is capped where the
+    # sequential sweep count stops beating XLA's eigh
+    return 16 <= n <= 448 and b >= 4
 
 
 @jax.custom_jvp

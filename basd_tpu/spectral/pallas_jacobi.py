@@ -63,7 +63,7 @@ def _jacobi_kernel(steps: int, a_in_ref, w_ref, vt_ref, a_ref, vs_ref):
 
     jax.lax.fori_loop(0, steps, body, 0)
 
-    w_ref[:] = diag_of(a_ref[:])
+    w_ref[:] = diag_of(a_ref[:])[:, None, :]  # (chunk, 1, n) block layout
     vt_ref[:] = vs_ref[:]
 
 
@@ -82,7 +82,7 @@ def _jacobi_eigvals_kernel(steps: int, a_in_ref, w_ref, a_ref):
         return carry
 
     jax.lax.fori_loop(0, steps, body, 0)
-    w_ref[:] = diag_of(a_ref[:])
+    w_ref[:] = diag_of(a_ref[:])[:, None, :]  # (chunk, 1, n) block layout
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
@@ -99,16 +99,28 @@ def pallas_jacobi_eigvals(
         a = jnp.pad(a, ((0, 0), (0, 1), (0, 1)))
 
     b = a.shape[0]
+    chunk = _chunk_batch(b, n)
+    pad_b = (-b) % chunk
+    if pad_b:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad_b, n, n))]
+        )
+    bp = a.shape[0]
     kernel = partial(_jacobi_eigvals_kernel, (n - 1) * sweeps)
     w = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, n, n), jnp.float32)],
+        grid=(bp // chunk,),
+        out_shape=jax.ShapeDtypeStruct((bp, 1, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((chunk, 1, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk, n, n), jnp.float32)],
         interpret=interpret,
     )(a)
-    w = jnp.sort(w, axis=-1)
+    w = jnp.sort(w[:b, 0], axis=-1)
     if n != n0:
         # the padded direction contributes exactly one zero eigenvalue;
         # remove one zero (the smallest-|.| entry)
@@ -120,26 +132,50 @@ def pallas_jacobi_eigvals(
     return w.reshape(*batch_shape, n0)
 
 
+# VMEM budget per grid program: in + 2 outs + 2 scratch (chunk, n, n) fp32
+# plus step temporaries must fit in ~16 MB; target ~2 MB of state.
+_VMEM_STATE_BUDGET = 600_000  # elements per (chunk, n, n) buffer
+
+
+def _chunk_batch(b: int, n: int) -> int:
+    chunk = max(1, _VMEM_STATE_BUDGET // (n * n))
+    return min(b, chunk)
+
+
 def _pallas_eigh_raw(a: jax.Array, sweeps: int, interpret: bool):
     b, n, _ = a.shape
+    chunk = _chunk_batch(b, n)
+    pad = (-b) % chunk
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))]
+        )
+    bp = a.shape[0]
     kernel = partial(_jacobi_kernel, (n - 1) * sweeps)
-    return pl.pallas_call(
+    w, vt = pl.pallas_call(
         kernel,
+        grid=(bp // chunk,),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n, n), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, n, n), jnp.float32),
-            pltpu.VMEM((b, n, n), jnp.float32),
+            pltpu.VMEM((chunk, n, n), jnp.float32),
+            pltpu.VMEM((chunk, n, n), jnp.float32),
         ],
         interpret=interpret,
     )(a)
+    return w[:b, 0], vt[:b]
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
