@@ -84,6 +84,150 @@ def torch_vit_to_flax(
     return p
 
 
+def _bn(state: Mapping[str, np.ndarray], prefix: str) -> tuple[dict, dict]:
+    params = {
+        "scale": state[prefix + ".weight"],
+        "bias": state[prefix + ".bias"],
+    }
+    stats = {
+        "mean": state[prefix + ".running_mean"],
+        "var": state[prefix + ".running_var"],
+    }
+    return params, stats
+
+
+def torch_resnet_to_flax(
+    state: Mapping[str, np.ndarray], stage_sizes: tuple[int, ...]
+) -> dict[str, Any]:
+    """Map a torchvision/timm BasicBlock ResNet state dict onto our tree.
+
+    Returns {"params": ..., "batch_stats": ...} matching
+    `basd_tpu.models.cnn.ResNet` naming (stem_conv/stem_bn,
+    stage{s}_block{b}.{conv1,bn1,conv2,bn2,downsample_conv,downsample_bn}).
+    """
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    params["stem_conv"] = {"kernel": _t_conv(state["conv1.weight"])}
+    params["stem_bn"], stats["stem_bn"] = _bn(state, "bn1")
+
+    for s, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            t = f"layer{s + 1}.{b}."
+            name = f"stage{s}_block{b}"
+            p: dict[str, Any] = {
+                "conv1": {"kernel": _t_conv(state[t + "conv1.weight"])},
+                "conv2": {"kernel": _t_conv(state[t + "conv2.weight"])},
+            }
+            st: dict[str, Any] = {}
+            p["bn1"], st["bn1"] = _bn(state, t + "bn1")
+            p["bn2"], st["bn2"] = _bn(state, t + "bn2")
+            if t + "downsample.0.weight" in state:
+                p["downsample_conv"] = {
+                    "kernel": _t_conv(state[t + "downsample.0.weight"])
+                }
+                p["downsample_bn"], st["downsample_bn"] = _bn(
+                    state, t + "downsample.1"
+                )
+            params[name] = p
+            stats[name] = st
+
+    if "fc.weight" in state:
+        params["head"] = {
+            "kernel": _t_linear(state["fc.weight"]),
+            "bias": state["fc.bias"],
+        }
+    return {"params": params, "batch_stats": stats}
+
+
+def torch_convnext_to_flax(
+    state: Mapping[str, np.ndarray], depths: tuple[int, ...]
+) -> dict[str, Any]:
+    """Map a timm ConvNeXt state dict (stem.0/1,
+    stages.{s}.blocks.{b}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma},
+    stages.{s}.downsample.0/1) onto `basd_tpu.models.cnn.ConvNeXt`."""
+    p: dict[str, Any] = {
+        "stem_conv": {
+            "kernel": _t_conv(state["stem.0.weight"]),
+            "bias": state["stem.0.bias"],
+        },
+        "stem_norm": {
+            "scale": state["stem.1.weight"],
+            "bias": state["stem.1.bias"],
+        },
+    }
+    for s, depth in enumerate(depths):
+        if s > 0:
+            d = f"stages.{s}.downsample."
+            p[f"down{s}_norm"] = {
+                "scale": state[d + "0.weight"],
+                "bias": state[d + "0.bias"],
+            }
+            p[f"down{s}_conv"] = {
+                "kernel": _t_conv(state[d + "1.weight"]),
+                "bias": state[d + "1.bias"],
+            }
+        for b in range(depth):
+            t = f"stages.{s}.blocks.{b}."
+            p[f"stage{s}_block{b}"] = {
+                "dwconv": {
+                    "kernel": _t_conv(state[t + "conv_dw.weight"]),
+                    "bias": state[t + "conv_dw.bias"],
+                },
+                "norm": {
+                    "scale": state[t + "norm.weight"],
+                    "bias": state[t + "norm.bias"],
+                },
+                "pwconv1": {
+                    "kernel": _t_linear(state[t + "mlp.fc1.weight"]),
+                    "bias": state[t + "mlp.fc1.bias"],
+                },
+                "pwconv2": {
+                    "kernel": _t_linear(state[t + "mlp.fc2.weight"]),
+                    "bias": state[t + "mlp.fc2.bias"],
+                },
+                "gamma": state[t + "gamma"].reshape(-1),
+            }
+    return {"params": p}
+
+
+def _detect_and_convert(state: dict[str, np.ndarray]) -> dict[str, Any]:
+    """Route a state dict to the right converter by its key signature."""
+    if any(k.startswith("blocks.") for k in state):
+        depth = 1 + max(
+            int(k.split(".")[1])
+            for k in state
+            if k.startswith("blocks.") and k.split(".")[1].isdigit()
+        )
+        return {"params": torch_vit_to_flax(state, depth)}
+    if any(k.startswith("layer1.") for k in state):
+        sizes = []
+        for s in range(1, 5):
+            blocks = {
+                int(k.split(".")[1])
+                for k in state
+                if k.startswith(f"layer{s}.")
+            }
+            if blocks:
+                sizes.append(max(blocks) + 1)
+        return torch_resnet_to_flax(state, tuple(sizes))
+    if any(k.startswith("stages.") for k in state):
+        depths = []
+        for s in range(8):
+            blocks = {
+                int(k.split(".")[3])
+                for k in state
+                if k.startswith(f"stages.{s}.blocks.")
+            }
+            if blocks:
+                depths.append(max(blocks) + 1)
+        return torch_convnext_to_flax(state, tuple(depths))
+    raise ValueError(
+        "unrecognized checkpoint layout (expected timm/DINOv2 ViT, "
+        "torchvision/timm ResNet, or timm ConvNeXt keys)"
+    )
+
+
 def _load_state_file(path: str | Path) -> dict[str, np.ndarray]:
     path = Path(path)
     if path.suffix == ".npz":
@@ -104,15 +248,7 @@ def load_converted_weights(path: str | Path, template_variables: Any) -> Any:
     import jax
 
     state = _load_state_file(path)
-    depth = (
-        max(
-            int(k.split(".")[1])
-            for k in state
-            if k.startswith("blocks.") and k.split(".")[1].isdigit()
-        )
-        + 1
-    )
-    converted = {"params": torch_vit_to_flax(state, depth)}
+    converted = _detect_and_convert(state)
 
     def graft(template, new):
         if new is None:
