@@ -213,7 +213,11 @@ def _shift_axis_taps(
     t0 = max(abs(t) for t in taps)
     pad = [(0, 0)] * images.ndim
     pad[axis] = (t0, t0)
-    padded = jnp.pad(images, pad)
+    # materialize the padded input ONCE: without the barrier XLA fuses the
+    # upstream producer chain (e.g. the random-resized-crop einsums) into
+    # every tap consumer and recomputes it per tap (measured 690 ms for a
+    # 224px dual-view that is ~50 ms with the barrier)
+    padded = jax.lax.optimization_barrier(jnp.pad(images, pad))
     acc = jnp.zeros_like(images)
     for t in taps:
         if nearest:
@@ -354,7 +358,7 @@ def _equalize(images: jax.Array) -> jax.Array:
     u8 = jnp.clip(images * 255.0, 0, 255).astype(jnp.int32)  # trunc = torchvision float->uint8
     flat = u8.transpose(0, 3, 1, 2).reshape(b * c, h * w)
 
-    small = h * w <= 8192  # one-hot matmul memory gate
+    small = h * w <= 8192  # full one-hot memory gate
     if small:
         onehot = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16)  # (BC, HW, 256)
         upper = np.triu(np.ones((256, 256), np.float32)).astype(np.float16)
@@ -363,8 +367,17 @@ def _equalize(images: jax.Array) -> jax.Array:
             "phv,vw->pw", onehot, upper, preferred_element_type=jnp.float32
         ).astype(jnp.int32)  # (BC, 256)
     else:
-        # large images: scatter bincount beats materializing the one-hot
-        hist_raw = jax.vmap(lambda r: jnp.bincount(r, length=256))(flat)
+        # large images: radix-16 factorization. The full 256-bin histogram
+        # is the outer product of high/low-nibble one-hots contracted over
+        # pixels — two (HW, 16) one-hots and one batched 16x16 matmul
+        # instead of a 256-wide one-hot (~20 GB at 224^2) or a scatter
+        # bincount (~800 ms measured). Exact integer counts.
+        oh_hi = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
+        oh_lo = jax.nn.one_hot(flat & 15, 16, dtype=jnp.bfloat16)
+        hist16 = jnp.einsum(
+            "pha,phb->pab", oh_hi, oh_lo, preferred_element_type=jnp.float32
+        )  # (BC, 16, 16): hist256[16a + b]
+        hist_raw = hist16.reshape(-1, 256).astype(jnp.int32)
         cum = jnp.cumsum(hist_raw, axis=-1)
     hist = jnp.diff(cum, axis=-1, prepend=0)
 
@@ -392,7 +405,19 @@ def _equalize(images: jax.Array) -> jax.Array:
             preferred_element_type=jnp.float32,
         )  # LUT values <= 255 are exact in bf16
     else:
-        out = jnp.take_along_axis(lut, flat, axis=-1).astype(jnp.float32)
+        # LUT application via the same radix split: out = onehot_hi @ LUT
+        # (as a 16x16 table) contracted against onehot_lo — batched
+        # matmuls instead of a 38M-element gather. bf16 is exact for the
+        # 0/1 one-hots; the LUT contraction accumulates in fp32 and each
+        # output receives exactly one table entry (<= 255, bf16-exact).
+        lut16 = lut.reshape(-1, 16, 16).astype(jnp.bfloat16)
+        tmp = jnp.einsum(
+            "pha,pab->phb", oh_hi, lut16, preferred_element_type=jnp.float32
+        )  # (BC, HW, 16)
+        out = jnp.einsum(
+            "phb,phb->ph", tmp.astype(jnp.bfloat16), oh_lo,
+            preferred_element_type=jnp.float32,
+        )
     out = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
     return out / 255.0
 

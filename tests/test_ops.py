@@ -237,3 +237,17 @@ class TestGeometricWarp:
         zero = jnp.zeros((3,), jnp.float32)
         got = np.asarray(_geometric_warp(x, zero, zero, zero, zero, zero))
         np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
+
+
+class TestEqualizeLargePath:
+    def test_radix16_matches_pil(self):
+        from PIL import Image, ImageOps
+
+        rng = np.random.default_rng(5)
+        # > 8192 pixels triggers the radix-16 path
+        x = (rng.random((2, 96, 96, 3)) ** 2).astype(np.float32)
+        out = np.asarray(_equalize(jnp.asarray(x)))
+        for i in range(2):
+            im = Image.fromarray((x[i] * 255).astype(np.uint8))
+            want = np.asarray(ImageOps.equalize(im)).astype(np.float32) / 255.0
+            np.testing.assert_allclose(out[i], want, atol=1e-6)
