@@ -25,7 +25,7 @@ All ops take/return float32 images in [0, 1], NHWC.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

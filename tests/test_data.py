@@ -1,7 +1,6 @@
 """Data layer: metadata, channel stats, subset mapping, synthetic arrays."""
 
 import numpy as np
-import pytest
 
 from basd_tpu.data import (
     dataset_info,
