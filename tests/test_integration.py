@@ -82,3 +82,42 @@ class TestTrainPipeline:
         snap.run.output_dir = str(tmp_path / "eval_out")
         results = eval_run(snap)
         assert np.isfinite(results["primary"]["val_acc"])
+
+
+class TestLogitMasking:
+    def test_subset_masking_changes_predictions(self):
+        """OOD robustness-transfer path: logits restricted to a class
+        subset (reference metrics.py:42-44) — masked evaluation must score
+        against subset-local label indices."""
+        import jax
+        import jax.numpy as jnp
+
+        from basd_tpu.evaluation.metrics import evaluate_model
+        from basd_tpu.models import create_student
+
+        student, cfg = create_student(
+            "vit_micro_patch4", num_classes=10, drop_path_rate=0.0,
+            img_size=16, dtype=jnp.float32, remat=False,
+        )
+        params = student.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )["params"]
+
+        rng = np.random.default_rng(0)
+        images = (rng.random((24, 20, 20, 3)) * 255).astype(np.uint8)
+        # subset of 4 parent classes; labels are subset-local (0..3)
+        subset = (7, 2, 9, 4)
+        labels = rng.integers(0, 4, 24).astype(np.int32)
+
+        kwargs = dict(
+            img_size=16, crop_ratio=16 / 24,
+            mean=(0.5,) * 3, std=(0.25,) * 3, batch_size=8,
+        )
+        masked = evaluate_model(
+            student.apply, params, images, labels,
+            valid_indices=subset, **kwargs,
+        )
+        # top-5 over 4 classes is always 100
+        assert masked["val_acc_top5"] == 100.0
+        assert 0.0 <= masked["val_acc"] <= 100.0
+        assert np.isfinite(masked["loss"])
