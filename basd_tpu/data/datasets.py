@@ -27,7 +27,9 @@ network egress).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
+from pathlib import Path
 
 import numpy as np
 
@@ -87,7 +89,7 @@ def _is_synthetic(name: str) -> bool:
 
 
 def _parse_synthetic(name: str) -> dict:
-    """synthetic/<tag>[-<C>c][-<S>px] e.g. synthetic/cifar10-like."""
+    """synthetic/<tag>[-<C>c][-<S>px][-<N>n] e.g. synthetic/cifar10-like."""
     spec = {
         "num_classes": 10,
         "img_size": 16,
@@ -104,6 +106,9 @@ def _parse_synthetic(name: str) -> dict:
             spec["num_classes"] = int(part[:-1])
         if part.endswith("px") and part[:-2].isdigit():
             spec["img_size"] = int(part[:-2])
+        if part.endswith("n") and part[:-1].isdigit():
+            spec["train_size"] = int(part[:-1])
+            spec["eval_size"] = max(int(part[:-1]) // 8, 1)
     return spec
 
 
@@ -202,77 +207,243 @@ def get_subset_indices(dataset_name: str, parent_name: str) -> tuple[int, ...] |
 
 
 # ---------------------------------------------------------------------------
-# Synthetic data generation (learnable, deterministic)
+# Synthetic data generation (learnable, deterministic, chunked)
 # ---------------------------------------------------------------------------
 
+_SYNTH_CHUNK = 1024
 
-def _synthetic_arrays(
-    dataset_name: str, split: str
-) -> tuple[np.ndarray, np.ndarray]:
-    """Class-conditional structured uint8 images: each class has a distinct
-    spatial frequency/phase pattern plus noise, so a small model can learn it
-    and smoke tests can observe a decreasing loss."""
-    spec = dataset_info(dataset_name)["synthetic"]
-    n = spec["train_size"] if split == "train" else spec["eval_size"]
-    c, s = spec["num_classes"], spec["img_size"]
-    seed = 0 if split == "train" else 1
-    rng = np.random.default_rng(seed)
-    labels = rng.integers(0, c, size=(n,))
+
+@lru_cache(maxsize=4)
+def _synthetic_class_patterns(c: int, s: int) -> np.ndarray:
+    """(C, S, S, 3) float32 base pattern per class: distinct spatial
+    frequency/phase plus channel rolls, so classes are separable and a
+    small model can learn them."""
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
-    images = np.empty((n, s, s, 3), dtype=np.uint8)
-    for i in range(n):
-        k = int(labels[i])
+    pats = np.empty((c, s, s, 3), np.float32)
+    for k in range(c):
         fx, fy = 1 + (k % 5), 1 + (k // 5) % 5
         phase = 2 * np.pi * (k / max(c, 1))
         base = 0.5 + 0.5 * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
-        img = np.stack(
+        pats[k] = np.stack(
             [base, np.roll(base, k % s, axis=0), np.roll(base, (2 * k) % s, axis=1)],
             axis=-1,
         )
-        img = img + rng.normal(0, 0.08, size=img.shape)
-        images[i] = np.clip(img * 255.0, 0, 255).astype(np.uint8)
-    return images, labels.astype(np.int32)
+    return pats
 
 
-# ---------------------------------------------------------------------------
-# Array loading (host side). Returns HWC uint8 numpy arrays.
-# ---------------------------------------------------------------------------
+def _iter_synthetic_chunks(dataset_name: str, split: str):
+    """Yield (images_u8 chunk, labels chunk) without materializing the split.
 
-
-@lru_cache(maxsize=8)
-def load_split_arrays(
-    dataset_name: str, split: str, img_size: int | None = None
-) -> tuple[np.ndarray, np.ndarray]:
-    """Load a full split as (images_u8 (N,H,W,3), labels (N,)) host arrays.
-
-    The device input path starts from uint8 (see module docstring); images
-    are host-resized once to ``raw size = round(img_size / 0.875)`` rounded
-    up to a multiple of 4 so the on-device crop ops have margin to work with.
+    Chunked vectorized generation draws the identical RNG stream as a
+    per-image loop (labels first, then noise in label order), so output is
+    byte-identical regardless of chunk size.
     """
+    spec = dataset_info(dataset_name)["synthetic"]
+    n = spec["train_size"] if split == "train" else spec["eval_size"]
+    c, s = spec["num_classes"], spec["img_size"]
+    rng = np.random.default_rng(0 if split == "train" else 1)
+    labels = rng.integers(0, c, size=(n,))
+    pats = _synthetic_class_patterns(c, s)
+    for lo in range(0, n, _SYNTH_CHUNK):
+        lab = labels[lo : lo + _SYNTH_CHUNK]
+        img = pats[lab] + rng.normal(0, 0.08, size=(len(lab), s, s, 3))
+        yield (
+            np.clip(img * 255.0, 0, 255).astype(np.uint8),
+            lab.astype(np.int32),
+        )
+
+
+def _synthetic_split_len(dataset_name: str, split: str) -> int:
+    spec = dataset_info(dataset_name)["synthetic"]
+    return spec["train_size"] if split == "train" else spec["eval_size"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming sample iterator (host side, O(1) memory)
+# ---------------------------------------------------------------------------
+
+
+def iter_split_samples(dataset_name: str, split: str, *, limit: int | None = None):
+    """Stream (image_u8 HWC at native size, label) pairs one at a time.
+
+    The host-RAM-bounded access path: nothing is materialized. Mirrors the
+    reference's `streaming=True` usage (`src/data/datasets.py:46-68`) — for
+    HF datasets the arrow-backed split decodes rows lazily during iteration.
+    """
+    count = 0
     if _is_synthetic(dataset_name):
-        return _synthetic_arrays(dataset_name, split)
+        for imgs, labs in _iter_synthetic_chunks(dataset_name, split):
+            for img, lab in zip(imgs, labs):
+                if limit is not None and count >= limit:
+                    return
+                yield img, int(lab)
+                count += 1
+        return
 
     info = dataset_info(dataset_name)
     from datasets import load_dataset  # local cache only in this env
 
     ds = load_dataset(dataset_name, split=split, trust_remote_code=True)
     image_key, label_key = info["image_key"], info["label_key"]
-
-    target = img_size or info.get("img_size") or 224
-    raw = int(round(target / 0.875 / 4.0) * 4)
-
     from PIL import Image as PILImage
 
-    n = len(ds)
-    images = np.empty((n, raw, raw, 3), dtype=np.uint8)
-    labels = np.empty((n,), dtype=np.int32)
-    for i, ex in enumerate(ds):
+    for ex in ds:
+        if limit is not None and count >= limit:
+            return
         img = ex[image_key]
-        if not isinstance(img, PILImage.Image):
-            img = PILImage.fromarray(np.asarray(img))
-        img = img.convert("RGB").resize((raw, raw), PILImage.BILINEAR)
-        images[i] = np.asarray(img, dtype=np.uint8)
-        labels[i] = int(ex[label_key])
+        if isinstance(img, PILImage.Image):
+            img = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        else:
+            img = np.asarray(img)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+        yield img, int(ex[label_key])
+        count += 1
+
+
+# ---------------------------------------------------------------------------
+# Array loading (host side). Returns HWC uint8 arrays — in RAM for small
+# splits, memory-mapped from an on-disk shard cache for large ones, so peak
+# host RSS is O(chunk), never O(split) (ImageNet-1k train at raw 256px is
+# ~250 GB; the reference never materializes it either,
+# `src/data/datasets.py:126-177` streams through 8 workers).
+# ---------------------------------------------------------------------------
+
+_RAM_BYTES_LIMIT = 64 << 20  # splits above this are disk-backed
+_DECODE_CHUNK = 512
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get("BASD_DATA_CACHE")
+    if root:
+        return Path(root)
+    return Path(__file__).resolve().parents[2] / ".cache" / "basd_tpu"
+
+
+def _write_npy_chunked(path, shape, dtype, chunk_iter) -> None:
+    """Stream chunks into a .npy file via buffered write() syscalls (page
+    cache, not process RSS), then atomically rename into place."""
+    path = Path(path)
+    tmp = path.with_suffix(".tmp")
+    header = {
+        "descr": np.lib.format.dtype_to_descr(np.dtype(dtype)),
+        "fortran_order": False,
+        "shape": tuple(shape),
+    }
+    written = 0
+    with open(tmp, "wb") as f:
+        np.lib.format.write_array_header_2_0(f, header)
+        for chunk in chunk_iter:
+            chunk = np.ascontiguousarray(chunk, dtype=dtype)
+            f.write(chunk.tobytes())
+            written += len(chunk)
+    if written != shape[0]:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"{path.name}: wrote {written} rows, expected {shape[0]}"
+        )
+    os.replace(tmp, path)
+
+
+def _decode_resize_chunks(dataset_name: str, split: str, raw: int):
+    """Yield (chunk_images (k,raw,raw,3) u8, chunk_labels (k,)) — decode in
+    chunks, batch same-size images through the native bilinear resize kernel
+    (native/basd_host.cpp) instead of a per-image PIL loop."""
+    from basd_tpu.data.native import resize_batch_u8
+
+    imgs_buf: list[np.ndarray] = []
+    labs_buf: list[int] = []
+
+    def flush():
+        labs = np.asarray(labs_buf, np.int32)
+        out = np.empty((len(imgs_buf), raw, raw, 3), np.uint8)
+        # group by native size so each group is one batched native call
+        by_size: dict[tuple[int, int], list[int]] = {}
+        for i, im in enumerate(imgs_buf):
+            by_size.setdefault(im.shape[:2], []).append(i)
+        for _, idxs in by_size.items():
+            stack = np.stack([imgs_buf[i] for i in idxs])
+            out[idxs] = resize_batch_u8(stack, raw, raw)
+        imgs_buf.clear()
+        labs_buf.clear()
+        return out, labs
+
+    for img, lab in iter_split_samples(dataset_name, split):
+        imgs_buf.append(img)
+        labs_buf.append(lab)
+        if len(imgs_buf) >= _DECODE_CHUNK:
+            yield flush()
+    if imgs_buf:
+        yield flush()
+
+
+def _split_len(dataset_name: str, split: str) -> int:
+    if _is_synthetic(dataset_name):
+        return _synthetic_split_len(dataset_name, split)
+    from datasets import load_dataset
+
+    return len(load_dataset(dataset_name, split=split, trust_remote_code=True))
+
+
+@lru_cache(maxsize=8)
+def load_split_arrays(
+    dataset_name: str, split: str, img_size: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load a split as (images_u8 (N,H,W,3), labels (N,)) host arrays.
+
+    Small synthetic splits come back as plain RAM arrays. Anything larger is
+    materialized ONCE (chunked decode + native batched resize, bounded RSS)
+    into `.cache/basd_tpu/` and returned as read-only memory maps, so epoch
+    iteration pages in only the touched batches.
+
+    HF images are host-resized once to ``raw size = round(img_size / 0.875)``
+    rounded to a multiple of 4 so on-device crop ops have margin; synthetic
+    splits stay at their native size (device ops handle any raw size).
+    """
+    n = _split_len(dataset_name, split)
+
+    if _is_synthetic(dataset_name):
+        s = dataset_info(dataset_name)["synthetic"]["img_size"]
+        nbytes = n * s * s * 3
+        if nbytes <= _RAM_BYTES_LIMIT:
+            chunks = list(_iter_synthetic_chunks(dataset_name, split))
+            return (
+                np.concatenate([c[0] for c in chunks]),
+                np.concatenate([c[1] for c in chunks]),
+            )
+        raw = s
+        chunk_iter = _iter_synthetic_chunks(dataset_name, split)
+        tag = f"{split}_{s}px"
+    else:
+        info = dataset_info(dataset_name)
+        target = img_size or info.get("img_size") or 224
+        raw = int(round(target / 0.875 / 4.0) * 4)
+        chunk_iter = _decode_resize_chunks(dataset_name, split, raw)
+        tag = f"{split}_{raw}px"
+
+    cache = _cache_dir() / dataset_name.replace("/", "__")
+    cache.mkdir(parents=True, exist_ok=True)
+    img_path = cache / f"{tag}.images.npy"
+    lab_path = cache / f"{tag}.labels.npy"
+
+    if not (img_path.exists() and lab_path.exists()):
+        labels_acc: list[np.ndarray] = []
+
+        def imgs_only():
+            for imgs, labs in chunk_iter:
+                labels_acc.append(labs)
+                yield imgs
+
+        _write_npy_chunked(img_path, (n, raw, raw, 3), np.uint8, imgs_only())
+        _write_npy_chunked(lab_path, (n,), np.int32, iter(labels_acc))
+
+    images = np.load(img_path, mmap_mode="r")
+    labels = np.asarray(np.load(lab_path))
+    if images.shape[0] != n or labels.shape[0] != n:
+        raise RuntimeError(
+            f"stale data cache for {dataset_name}/{split}: "
+            f"{images.shape[0]} rows cached, split has {n}; delete {cache}"
+        )
     return images, labels
 
 
@@ -280,15 +451,16 @@ def load_split_arrays(
 def get_channel_stats(
     dataset_name: str,
 ) -> tuple[tuple[float, ...], tuple[float, ...]]:
-    """Per-channel mean/std over the first 5000 train images via Welford
-    parallel merge (reference `src/data/datasets.py:46-68` semantics; the
-    inner loop runs in the native C++ kernel when available)."""
+    """Per-channel mean/std over exactly the first 5000 streamed train
+    images at native size, via Welford parallel merge (reference
+    `src/data/datasets.py:46-68` semantics — `streaming=True`, per-image
+    merge; the inner loop runs in the native C++ kernel when available).
+    Nothing is materialized: O(1) host memory."""
     from basd_tpu.data.native import WelfordStats
 
-    images, _ = load_split_arrays(dataset_name, "train")
-    images = images[:_CHANNEL_STATS_SAMPLES]
-
     stats = WelfordStats(3)
-    for img in images:
+    for img, _ in iter_split_samples(
+        dataset_name, "train", limit=_CHANNEL_STATS_SAMPLES
+    ):
         stats.update(img)
     return stats.result()
