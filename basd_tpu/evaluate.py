@@ -55,9 +55,20 @@ def run(config) -> dict:
 
     save_config(config, output_dir / "config.yaml")
 
+    sharding = None
+    if jax.device_count() > 1:
+        from basd_tpu.parallel.mesh import batch_sharding, create_mesh
+
+        mesh = create_mesh(
+            data=config.hardware.mesh.data, model=config.hardware.mesh.model
+        )
+        sharding = batch_sharding(mesh)
+
     results = run_eval_suite(
         student.apply, params, config,
         config_path=str(output_dir / "config.yaml"),
+        model=student,
+        sharding=sharding,
     )
     save_metrics(results, output_dir)
     return results

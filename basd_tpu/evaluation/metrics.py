@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import json
 import time
+import weakref
+from collections import OrderedDict
 from pathlib import Path
 from typing import Any
 
@@ -38,9 +40,35 @@ def _batches(n: int, batch_size: int):
         yield i, min(i + batch_size, n)
 
 
-# jitted eval steps cached across calls (the trainer evaluates every epoch;
-# a fresh closure per call would recompile every time)
-_EVAL_STEP_CACHE: dict = {}
+# Jitted eval steps cached across calls (the trainer evaluates every epoch;
+# a fresh closure per call would recompile every time). Keyed on
+# weakref.ref(model) — NOT id(apply_fn), whose values can be reused after GC
+# and cross-serve a stale jitted step for a different model: a dead ref
+# never compares equal to a new one. LRU-bounded because the jitted closure
+# itself keeps the model alive while the entry exists.
+_EVAL_STEP_CACHE: OrderedDict = OrderedDict()
+_EVAL_CACHE_MAX = 8
+
+
+def _cache_owner(apply_fn, model):
+    """The cache-key owner: the model when given, else the bound method's
+    module, else the function object."""
+    if model is not None:
+        return model
+    return getattr(apply_fn, "__self__", apply_fn)
+
+
+def _cached_eval_step(owner, cache_key, build):
+    key = (weakref.ref(owner), cache_key)
+    step = _EVAL_STEP_CACHE.get(key)
+    if step is None:
+        step = build()
+        _EVAL_STEP_CACHE[key] = step
+        while len(_EVAL_STEP_CACHE) > _EVAL_CACHE_MAX:
+            _EVAL_STEP_CACHE.popitem(last=False)
+    else:
+        _EVAL_STEP_CACHE.move_to_end(key)
+    return step
 
 
 def evaluate_model(
@@ -56,13 +84,19 @@ def evaluate_model(
     batch_size: int,
     valid_indices: tuple[int, ...] | None = None,
     label_smoothing: float = 0.0,
+    model=None,
+    sharding=None,
 ) -> dict[str, Any]:
-    """top-1/top-5 accuracy (micro) + mean CE loss over a split."""
+    """top-1/top-5 accuracy (micro) + mean CE loss over a split.
+
+    With `sharding` (a batch NamedSharding along the 'data' mesh axis) the
+    eval batches are placed sharded so the jitted step runs data-parallel
+    across the mesh instead of bottlenecking one chip.
+    """
     mean = tuple(float(m) for m in mean)
     std = tuple(float(s) for s in std)
     cache_key = (
-        id(apply_fn), img_size, crop_ratio, mean, std,
-        valid_indices, label_smoothing,
+        img_size, crop_ratio, mean, std, valid_indices, label_smoothing,
     )
     valid = (
         jnp.asarray(valid_indices, jnp.int32) if valid_indices is not None else None
@@ -84,9 +118,13 @@ def evaluate_model(
         top5 = jnp.sum(mask * jnp.any(topk == labels[:, None], axis=-1))
         return loss_sum, top1, top5
 
-    if cache_key not in _EVAL_STEP_CACHE:
-        _EVAL_STEP_CACHE[cache_key] = jax.jit(eval_step)
-    eval_step = _EVAL_STEP_CACHE[cache_key]
+    owner = _cache_owner(apply_fn, model)
+    step_fn = eval_step
+    eval_step = _cached_eval_step(owner, cache_key, lambda: jax.jit(step_fn))
+
+    def put(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, sharding) if sharding is not None else a
 
     total, loss_sum, top1, top5 = 0, 0.0, 0.0, 0.0
     n = len(labels)
@@ -100,9 +138,7 @@ def evaluate_model(
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
             labs = np.concatenate([labs, np.zeros_like(labs[:pad])])
             mask[hi - lo :] = 0.0
-        li, t1, t5 = eval_step(
-            params, jnp.asarray(imgs), jnp.asarray(labs), jnp.asarray(mask)
-        )
+        li, t1, t5 = eval_step(params, put(imgs), put(labs), put(mask))
         loss_sum += float(li)
         top1 += float(t1)
         top5 += float(t5)
@@ -186,10 +222,13 @@ def run_eval_suite(
     config,
     *,
     config_path: str,
+    model=None,
+    sharding=None,
 ) -> dict[str, Any]:
     """Primary + OOD robustness + efficiency (reference `run_eval_suite`,
     `metrics.py:100-164`). OOD loaders use the PRIMARY dataset's channel
-    stats; subset datasets get logit masking."""
+    stats; subset datasets get logit masking. `sharding` runs the eval
+    loops data-parallel over the mesh."""
     datasets_to_eval = [config.data.dataset] + list(config.data.eval_datasets)
     mean, std = get_channel_stats(config.data.dataset)
     crop_ratio = config.data.eval_crop_ratio
@@ -215,6 +254,8 @@ def run_eval_suite(
             std=std,
             batch_size=config.data.batch_size,
             valid_indices=valid_indices,
+            model=model,
+            sharding=sharding,
         )
         if ds_name == config.data.dataset:
             primary_results = metrics

@@ -144,11 +144,15 @@ def run(config) -> dict:
         start_epoch=start_epoch,
     )
 
+    from basd_tpu.parallel.mesh import batch_sharding
+
     results = run_eval_suite(
         student.apply,
         trainer.eval_model_params(),
         config,
         config_path=str(output_dir / "config.yaml"),
+        model=student,
+        sharding=batch_sharding(mesh) if mesh is not None else None,
     )
     save_metrics(results, output_dir)
     return results

@@ -21,6 +21,7 @@ from basd_tpu.evaluation.metrics import evaluate_model
 from basd_tpu.losses import extraction_points, init_selector
 from basd_tpu.models.teacher import Teacher
 from basd_tpu.parallel.mesh import batch_sharding, replicated
+from basd_tpu.parallel.sharding_rules import state_sharding
 from basd_tpu.training.schedule_free import eval_params
 from basd_tpu.training.train_step import make_train_step
 
@@ -73,7 +74,12 @@ class Trainer:
         self._teacher_vars = teacher.variables
 
         if mesh is not None:
-            self.state = jax.device_put(self.state, replicated(mesh))
+            # dp on the batch; Megatron tp on the wide matmuls whenever the
+            # mesh has a 'model' axis (with model=1 the specs collapse to
+            # replicated) — the optimizer z/v iterates follow their params.
+            self.state = jax.device_put(
+                self.state, state_sharding(mesh, self.state)
+            )
             self._teacher_vars = jax.device_put(
                 self._teacher_vars, replicated(mesh)
             )
@@ -135,6 +141,8 @@ class Trainer:
             mean=self._eval_stats[0],
             std=self._eval_stats[1],
             batch_size=cfg.data.batch_size,
+            model=self.student,
+            sharding=self._batch_sharding,
         )
 
     # ------------------------------------------------------------------
@@ -158,7 +166,7 @@ class Trainer:
             checkpoint_path, jax.device_get(self.state)
         )
         self.state = (
-            jax.device_put(state, replicated(self.mesh))
+            jax.device_put(state, state_sharding(self.mesh, state))
             if self.mesh is not None
             else jax.device_put(state)
         )
