@@ -28,11 +28,15 @@ finite for repeated/zero singular values where the generic SVD JVP blows up.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as _P
 
 _F32 = jnp.float32
 # TPU fp32 einsums default to single-pass bf16 on the MXU; the Newton-
@@ -40,25 +44,59 @@ _F32 = jnp.float32
 # sqrt iteration amplifies bf16 rounding into divergence/NaN).
 _HI = jax.lax.Precision.HIGHEST
 
+# Ambient mesh for Pallas dispatch under multi-device programs. A Pallas
+# kernel inside a GSPMD-partitioned jit must live in a manual (shard_map)
+# island; the selector's Gram spectra are replicated after the global-batch
+# psum, so the island runs the kernel fully replicated on every device
+# (in_specs = out_specs = P()). Set by `spectral_mesh(...)` around train-step
+# tracing (basd_tpu.training.train_step wires it from the Trainer's mesh).
+_SPECTRAL_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "basd_spectral_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def spectral_mesh(mesh):
+    """Scope the ambient device mesh for Pallas kernel dispatch (trace time)."""
+    token = _SPECTRAL_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _SPECTRAL_MESH.reset(token)
+
+
+def _pallas_interpret() -> bool:
+    """Interpret-mode escape hatch: lets the CPU test mesh exercise the real
+    multi-device dispatch path (shard_map island + kernel math) where Mosaic
+    cannot compile."""
+    return bool(os.environ.get("BASD_TPU_PALLAS_INTERPRET"))
+
+
+def _replicated_island(fn):
+    """Wrap `fn` in a fully-replicated shard_map island when tracing under a
+    multi-device mesh, so Pallas custom calls never meet GSPMD partitioning.
+    Every device computes the identical small-matrix spectra — the same cost
+    as single-chip, and exact because the inputs are already replicated
+    (global-batch Grams)."""
+    mesh = _SPECTRAL_MESH.get()
+    if mesh is None or mesh.size <= 1:
+        return fn
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=_P(), out_specs=_P(), check_vma=False
+    )
+
 
 def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     """Dispatch policy for the batched Jacobi eigensolver: XLA's TPU eigh
     serializes over the batch (~1.1 ms per 192x192 matrix measured), while
     the VMEM-resident Pallas kernel solves the whole batch in parallel
     (2.4x faster at (48, 96, 96)). CPU and oversized batches fall back to
-    LAPACK/XLA."""
-    import os
-
+    LAPACK/XLA. Multi-device meshes route through a replicated shard_map
+    island (`_replicated_island`) instead of being disabled."""
     if os.environ.get("BASD_TPU_DISABLE_PALLAS"):
         return False
     try:
-        if jax.default_backend() == "cpu":
-            return False
-        # conservative: under a multi-chip mesh GSPMD must partition the
-        # pallas_call; until that path is validated on real multi-chip
-        # hardware, fall back to XLA eigh there (single-chip = the
-        # benchmark path - is where the kernel matters today)
-        if jax.device_count() > 1:
+        if jax.default_backend() == "cpu" and not _pallas_interpret():
             return False
     except RuntimeError:  # pragma: no cover
         return False
@@ -88,7 +126,14 @@ def _eigh_safe(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     if _use_pallas_jacobi(a.shape):
         from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigh
 
-        w, v = pallas_jacobi_eigh(a)  # descending
+        # sweeps=7: measured convergence plateau on real token Grams —
+        # principal-angle distances match sweeps=9 to 1e-5 and eigenvalue
+        # error sits at the fp32 floor (tools/tune_spectral.py, v5e:
+        # 5.5 ms vs 7.0 ms at (48, 96, 96)).
+        solver = _replicated_island(
+            partial(pallas_jacobi_eigh, sweeps=7, interpret=_pallas_interpret())
+        )
+        w, v = solver(a)  # descending
         return w[..., ::-1], v[..., ::-1]
     return jnp.linalg.eigh(a)
 
@@ -162,7 +207,16 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
     if _use_pallas_jacobi(cov.shape):
         from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigvals
 
-        eigvals = pallas_jacobi_eigvals(cov)
+        # sweeps=6: eigenvalue error reaches the fp32 plateau (5.2e-5,
+        # identical MP ranks to LAPACK on real token Grams) while sweeps=5
+        # still flips ranks at the bulk edge (tools/tune_spectral.py, v5e:
+        # 5.5 ms vs 8.4 ms at (12, 192, 192)).
+        solver = _replicated_island(
+            partial(
+                pallas_jacobi_eigvals, sweeps=6, interpret=_pallas_interpret()
+            )
+        )
+        eigvals = solver(cov)
     else:
         eigvals = jnp.linalg.eigvalsh(cov)
     sigma2 = jnp.median(eigvals, axis=-1)
@@ -524,7 +578,6 @@ def topk_basis(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=())
 def masked_principal_angle_distance(
     basis_s: jax.Array,  # (..., Dp, D) student basis columns (grad flows)
     basis_t: jax.Array,  # (..., Dp, D) teacher basis columns (stop-grad'd)

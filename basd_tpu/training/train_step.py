@@ -21,6 +21,7 @@ from basd_tpu.losses.selector import SelectorState
 from basd_tpu.models.teacher import Teacher, extract_intermediates
 from basd_tpu.ops.mixup import mixup_cutmix
 from basd_tpu.ops.preprocess import dual_view
+from basd_tpu.spectral.ops import spectral_mesh
 from basd_tpu.training.schedule_free import schedule_free_adamw
 
 
@@ -73,10 +74,13 @@ def make_train_step(
     dataset_stats: tuple,
     num_classes: int,
     subspace_k: int | None = None,
+    mesh=None,
 ):
     """Build (optimizer, init_fn, step_fn). step_fn is jit-compatible:
     (state, teacher_variables, images_u8 (B,H,W,3), labels (B,))
-    -> (state, metrics)."""
+    -> (state, metrics). `mesh` (when the step runs under a multi-device
+    mesh) routes the spectral Pallas kernels through a replicated shard_map
+    island — see `basd_tpu.spectral.ops.spectral_mesh`."""
     optimizer = schedule_free_adamw(
         learning_rate,
         weight_decay=weight_decay,
@@ -84,6 +88,15 @@ def make_train_step(
     )
 
     def step_fn(
+        state: TrainState,
+        teacher_variables,
+        images_u8: jax.Array,
+        labels: jax.Array,
+    ):
+        with spectral_mesh(mesh):
+            return _step_body(state, teacher_variables, images_u8, labels)
+
+    def _step_body(
         state: TrainState,
         teacher_variables,
         images_u8: jax.Array,

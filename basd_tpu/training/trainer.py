@@ -68,6 +68,7 @@ class Trainer:
             dataset_stats=dataset_stats,
             num_classes=config.model.num_classes,
             subspace_k=config.basd.get("subspace_k"),
+            mesh=mesh,
         )
         self.state = init_fn(jax.random.PRNGKey(config.run.seed), selector)
         self._step = jax.jit(step_fn, donate_argnums=0)
@@ -95,18 +96,45 @@ class Trainer:
         self.best_val_acc = 0.0
         self.metrics_history: dict[str, list] = defaultdict(list)
         self._eval_stats = dataset_stats
+        # mid-epoch resume point, set by load_checkpoint from a
+        # step-granular checkpoint and consumed by the first train() epoch
+        self._resume_batch = 0
+        self._resume_sums: dict | None = None
 
     # ------------------------------------------------------------------
 
-    def _train_epoch(self, images: np.ndarray, labels: np.ndarray, epoch: int):
+    def _train_epoch(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        epoch: int,
+        *,
+        start_batch: int = 0,
+        epoch_sums: dict | None = None,
+    ):
+        """One epoch; `start_batch`/`epoch_sums` restart mid-epoch after a
+        preemption (the batch order is a pure function of (seed, epoch), so
+        skipping the first `start_batch` batches replays the identical
+        stream). With `checkpoint.save_every_steps` set, `latest` is saved
+        asynchronously every N optimizer steps with the running metric sums,
+        so a killed job loses at most N steps."""
+        import itertools
+
         from basd_tpu.data.pipeline import epoch_batches, prefetch_to_device
 
         batch_size = self.config.data.batch_size
+        save_every = self.config.checkpoint.get("save_every_steps")
         rng = np.random.default_rng(self.config.run.seed * 100_003 + epoch)
 
-        losses, accs = [], []
+        losses = list(epoch_sums["losses"]) if epoch_sums else []
+        accs = list(epoch_sums["accs"]) if epoch_sums else []
+        batch_idx = start_batch
         for imgs, labs in prefetch_to_device(
-            epoch_batches(images, labels, batch_size, rng),
+            itertools.islice(
+                epoch_batches(images, labels, batch_size, rng),
+                start_batch,
+                None,
+            ),
             sharding=self._batch_sharding,
         ):
             self.state, metrics = self._step(
@@ -114,6 +142,21 @@ class Trainer:
             )
             losses.append(metrics["loss"])
             accs.append(metrics["train_acc"])
+            batch_idx += 1
+            if save_every and batch_idx % save_every == 0:
+                # value fetches below sync the state before the async save
+                self.checkpoints.save_state(
+                    "latest",
+                    self.state,
+                    epoch=epoch,
+                    best_val_acc=self.best_val_acc,
+                    metrics_history=dict(self.metrics_history),
+                    step_in_epoch=batch_idx,
+                    epoch_sums={
+                        "losses": [float(x) for x in losses],
+                        "accs": [float(x) for x in accs],
+                    },
+                )
 
         return {
             "train_loss": float(jnp.mean(jnp.stack(losses))),
@@ -162,7 +205,10 @@ class Trainer:
         )
 
     def load_checkpoint(self, checkpoint_path: str) -> int:
-        state, start_epoch, best, history = self.checkpoints.restore_state(
+        """Restore full training state; returns the epoch to resume at.
+        A step-granular checkpoint (saved mid-epoch by `save_every_steps`)
+        resumes the SAME epoch at the recorded batch offset."""
+        state, custom = self.checkpoints.restore_state(
             checkpoint_path, jax.device_get(self.state)
         )
         self.state = (
@@ -170,9 +216,13 @@ class Trainer:
             if self.mesh is not None
             else jax.device_put(state)
         )
-        self.best_val_acc = best
-        self.metrics_history = defaultdict(list, history)
-        return start_epoch
+        self.best_val_acc = custom["best_val_acc"]
+        self.metrics_history = defaultdict(list, custom["metrics_history"])
+        if custom.get("step_in_epoch"):
+            self._resume_batch = custom["step_in_epoch"]
+            self._resume_sums = custom["epoch_sums"]
+            return custom["epoch"]
+        return custom["epoch"] + 1
 
     # ------------------------------------------------------------------
 
@@ -187,7 +237,12 @@ class Trainer:
         val_images, val_labels = val_data
 
         for epoch in range(start_epoch, num_epochs):
-            train_metrics = self._train_epoch(train_images, train_labels, epoch)
+            start_batch, sums = self._resume_batch, self._resume_sums
+            self._resume_batch, self._resume_sums = 0, None
+            train_metrics = self._train_epoch(
+                train_images, train_labels, epoch,
+                start_batch=start_batch, epoch_sums=sums,
+            )
             val_metrics = self.evaluate(val_images, val_labels)
 
             print(
@@ -208,5 +263,6 @@ class Trainer:
             self.save_checkpoint("latest", epoch)
 
         self.save_weights("final_model.npz", num_epochs - 1)
+        self.checkpoints.wait()  # drain async saves before returning
         print(f"training complete best_val_acc={self.best_val_acc:.4f}")
         return dict(self.metrics_history)
