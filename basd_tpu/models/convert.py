@@ -232,14 +232,76 @@ def _load_state_file(path: str | Path) -> dict[str, np.ndarray]:
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+            # "__*__" keys carry normalization metadata, not weights
+            return {k: z[k] for k in z.files if not k.startswith("__")}
     # .pth / .pt: torch CPU load (weights only)
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
-    return {k: v.numpy() for k, v in obj.items()}
+    return {
+        k: v.numpy() for k, v in obj.items() if hasattr(v, "numpy")
+    }
+
+
+def load_checkpoint_stats(
+    path: str | Path,
+) -> tuple[tuple[float, ...], tuple[float, ...]] | None:
+    """Normalization (mean, std) recorded with a converted checkpoint.
+
+    The reference reads these from the timm `pretrained_cfg`
+    (`/root/reference/src/models/teacher.py:128-134`); our checkpoint files
+    carry the same metadata so teachers are normalized with THEIR stats, not
+    a hardcoded ImageNet default. Sources, in order:
+
+      * `.npz` exports: `__norm_mean__` / `__norm_std__` arrays
+        (written by `export_teacher_npz`),
+      * `.pth` bundles: a `pretrained_cfg` dict entry (timm full saves),
+      * a `<file>.stats.json` sidecar: {"mean": [...], "std": [...]}.
+
+    Returns None when no metadata exists (caller falls back to the model
+    spec's defaults).
+    """
+    path = Path(path)
+    sidecar = path.with_name(path.name + ".stats.json")
+    if sidecar.exists():
+        import json
+
+        meta = json.loads(sidecar.read_text())
+        return tuple(meta["mean"]), tuple(meta["std"])
+    if path.suffix == ".npz":
+        with np.load(path) as z:
+            if "__norm_mean__" in z.files and "__norm_std__" in z.files:
+                return (
+                    tuple(float(v) for v in z["__norm_mean__"]),
+                    tuple(float(v) for v in z["__norm_std__"]),
+                )
+        return None
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict):
+        cfg = obj.get("pretrained_cfg")
+        if isinstance(cfg, dict) and "mean" in cfg and "std" in cfg:
+            return tuple(cfg["mean"]), tuple(cfg["std"])
+    return None
+
+
+def export_teacher_npz(
+    path: str | Path,
+    state: Mapping[str, np.ndarray],
+    *,
+    mean: tuple[float, ...] | None = None,
+    std: tuple[float, ...] | None = None,
+) -> None:
+    """Write a torch-layout state dict to `.npz`, embedding normalization
+    stats as `__norm_mean__`/`__norm_std__` metadata arrays."""
+    arrays = {k: np.asarray(v) for k, v in state.items()}
+    if mean is not None and std is not None:
+        arrays["__norm_mean__"] = np.asarray(mean, np.float64)
+        arrays["__norm_std__"] = np.asarray(std, np.float64)
+    np.savez(path, **arrays)
 
 
 def load_converted_weights(path: str | Path, template_variables: Any) -> Any:

@@ -25,9 +25,6 @@ from basd_tpu.models.specs import ModelSpec, resolve_preset
 from basd_tpu.models.vit import VisionTransformer, ViTConfig
 from basd_tpu.spectral import marchenko_pastur_rank
 
-_IMAGENET_MEAN = (0.485, 0.456, 0.406)
-_IMAGENET_STD = (0.229, 0.224, 0.225)
-
 
 class Teacher(NamedTuple):
     """Frozen teacher bundle (reference `TeacherModel`, `teacher.py:9-20`)."""
@@ -72,9 +69,16 @@ def load_teacher(
     seed: int = 0,
     weights_path: str | None = None,
     dtype=jnp.bfloat16,
+    mean: tuple[float, float, float] | None = None,
+    std: tuple[float, float, float] | None = None,
 ) -> Teacher:
     """Build + initialize a frozen teacher (reference `load_teacher`,
-    `teacher.py:113-148`)."""
+    `teacher.py:113-148`).
+
+    Normalization stats resolve in priority order: explicit `mean`/`std`
+    args > metadata recorded with the converted checkpoint (the equivalent
+    of the reference reading timm's `pretrained_cfg`,
+    `teacher.py:128-134`) > the preset's declared defaults."""
     spec = resolve_preset(model_name)
     module = build_teacher_module(spec, img_size, dtype=dtype)
 
@@ -85,9 +89,22 @@ def load_teacher(
     variables = jax.jit(lambda r, x: module.init(r, x, train=False))(rng, dummy)
 
     if weights_path is not None:
-        from basd_tpu.models.convert import load_converted_weights
+        from basd_tpu.models.convert import (
+            load_checkpoint_stats,
+            load_converted_weights,
+        )
 
         variables = load_converted_weights(weights_path, variables)
+        ckpt_stats = load_checkpoint_stats(weights_path)
+        if ckpt_stats is not None:
+            if mean is None:
+                mean = ckpt_stats[0]
+            if std is None:
+                std = ckpt_stats[1]
+    if mean is None:
+        mean = spec.norm_mean
+    if std is None:
+        std = spec.norm_std
 
     variables = jax.tree_util.tree_map(jax.lax.stop_gradient, variables)
 
@@ -102,7 +119,7 @@ def load_teacher(
         f"depth={spec.depth} heads_per_layer={spec.heads_per_layer()} "
         f"mlp_ratio={spec.mlp_ratio:.1f} feature_format={spec.feature_format} "
         f"has_cls={spec.has_cls_token} num_tokens={num_tokens} "
-        f"mean={_IMAGENET_MEAN} std={_IMAGENET_STD}"
+        f"mean={mean} std={std}"
     )
 
     return Teacher(
@@ -111,8 +128,8 @@ def load_teacher(
         variables=variables,
         img_size=img_size,
         num_tokens=num_tokens,
-        mean=_IMAGENET_MEAN,
-        std=_IMAGENET_STD,
+        mean=tuple(mean),
+        std=tuple(std),
     )
 
 
@@ -134,7 +151,16 @@ def extract_intermediates(
 def estimate_intrinsic_dim(teacher: Teacher, images: jax.Array) -> int:
     """Marchenko-Pastur rank of last-layer calibration tokens — the
     teacher's intrinsic dimensionality, which sizes the derived student
-    (reference `estimate_intrinsic_dim`, `teacher.py:161-177`)."""
-    tokens, _ = extract_intermediates(teacher, images)
-    flat = tokens[-1].reshape(-1, tokens.shape[-1]).astype(jnp.float32)
-    return int(marchenko_pastur_rank(flat))
+    (reference `estimate_intrinsic_dim`, `teacher.py:161-177`).
+
+    Jitted as one program: eager dispatch costs a compile round-trip per op
+    on the remote TPU transport."""
+
+    @jax.jit
+    def _rank(variables, x):
+        out = teacher.module.apply(variables, x, train=False)
+        tokens = jax.lax.stop_gradient(out.tokens)
+        flat = tokens[-1].reshape(-1, tokens.shape[-1]).astype(jnp.float32)
+        return marchenko_pastur_rank(flat)
+
+    return int(_rank(teacher.variables, images))
