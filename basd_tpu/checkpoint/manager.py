@@ -1,20 +1,28 @@
-"""Orbax-backed checkpointing: best/latest policy, resume, weights export.
+"""Orbax-backed checkpointing: async saves, best/latest policy, resume.
 
 Reference policy (`src/training/trainer.py:94-123, 201-208`, SURVEY.md 5.4):
   * full training state under `{output_dir}/{run}/checkpoints/{name}`
     (params, optimizer z/v iterates, selector temperatures, PRNG, step)
-    plus a sidecar with {epoch, best_val_acc, metrics_history},
+    plus custom metadata {epoch, best_val_acc, metrics_history},
   * `best_model` saved on val-acc improvement, `latest` every epoch,
   * weights-only `best_model.pth`-equivalent exports for eval,
   * resume returns epoch + 1.
 
-Async-save-capable via orbax (preemption-aware: `latest` always points to a
-complete checkpoint because orbax writes are atomic renames).
+TPU-native upgrades over the reference (SURVEY.md 5.3 — preemption-aware
+checkpointing):
+  * saves are ASYNC: `save` enqueues the write (the device->host copy is
+    taken synchronously so donated train-state buffers stay safe) and the
+    epoch loop continues while orbax persists in the background,
+  * the training state and its metadata are ONE composite checkpoint under
+    one atomic directory rename — a preemption can never leave a state/
+    sidecar mismatch,
+  * optional step-granular `latest` saves carry {step_in_epoch, running
+    metric sums} so a preempted job resumes MID-epoch and reproduces the
+    uninterrupted metrics trajectory (tests/test_integration.py).
 """
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any
 
@@ -27,7 +35,7 @@ class CheckpointManager:
     def __init__(self, checkpoint_dir: Path | str):
         self.dir = Path(checkpoint_dir).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self._ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
 
     # -- full training state ------------------------------------------------
 
@@ -39,35 +47,58 @@ class CheckpointManager:
         epoch: int,
         best_val_acc: float,
         metrics_history: dict,
+        step_in_epoch: int | None = None,
+        epoch_sums: dict | None = None,
+        block: bool = False,
     ) -> Path:
+        """Async atomic save of (state, metadata) as one composite tree.
+
+        `step_in_epoch`/`epoch_sums` mark a MID-epoch checkpoint: resume
+        restarts the same epoch at that batch offset with the recorded
+        running metric sums (step-granular preemption recovery).
+        """
         path = self.dir / name
-        self._ckptr.save(path, jax.device_get(state), force=True)
+        # serialize overlapping writes; a no-op when the previous save is
+        # already durable
         self._ckptr.wait_until_finished()
         custom = {
             "epoch": epoch,
             "best_val_acc": best_val_acc,
             "metrics_history": metrics_history,
+            "step_in_epoch": step_in_epoch,
+            "epoch_sums": epoch_sums,
         }
-        with open(self.dir / f"{name}_custom_state.json", "w") as f:
-            json.dump(custom, f)
+        self._ckptr.save(
+            path,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                custom=ocp.args.JsonSave(custom),
+            ),
+            force=True,
+        )
+        if block:
+            self._ckptr.wait_until_finished()
         return path
 
+    def wait(self) -> None:
+        """Block until every enqueued save is durable (end of training /
+        before process exit)."""
+        self._ckptr.wait_until_finished()
+
     def restore_state(self, name_or_path: str, template_state: Any):
-        """Returns (state, start_epoch, best_val_acc, metrics_history).
-        start_epoch = saved epoch + 1 (reference `trainer.py:113-123`)."""
+        """Returns (state, custom) with custom = {epoch, best_val_acc,
+        metrics_history, step_in_epoch, epoch_sums}."""
         path = Path(name_or_path)
         if not path.is_absolute():
             path = self.dir / name_or_path
-        state = self._ckptr.restore(path.absolute(), template_state)
-        sidecar = path.parent / f"{path.name}_custom_state.json"
-        with open(sidecar) as f:
-            custom = json.load(f)
-        return (
-            state,
-            custom["epoch"] + 1,
-            custom["best_val_acc"],
-            custom["metrics_history"],
+        restored = self._ckptr.restore(
+            path.absolute(),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template_state),
+                custom=ocp.args.JsonRestore(),
+            ),
         )
+        return restored["state"], dict(restored["custom"])
 
     # -- weights-only export (eval contract) --------------------------------
 

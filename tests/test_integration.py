@@ -121,3 +121,90 @@ class TestLogitMasking:
         assert masked["val_acc_top5"] == 100.0
         assert 0.0 <= masked["val_acc"] <= 100.0
         assert np.isfinite(masked["loss"])
+
+
+@pytest.mark.slow
+class TestPreemptionResume:
+    """Step-granular preemption recovery (VERDICT round-1 item 7): a job
+    killed mid-epoch resumes from the async step-interval checkpoint and
+    reproduces the uninterrupted run's metrics trajectory exactly."""
+
+    def _make_trainer(self, tmp_path, save_every=None):
+        import jax.numpy as jnp
+
+        from basd_tpu.losses import extraction_points
+        from basd_tpu.models import create_student, load_teacher
+        from basd_tpu.training.trainer import Trainer
+
+        overrides = [f"run.output_dir={tmp_path}", "data.batch_size=16"]
+        if save_every:
+            overrides.append(f"checkpoint.save_every_steps={save_every}")
+        config = compose_config(["experiment=basd_smoke", *overrides,
+                                 "training.num_epochs=1"])
+        teacher = load_teacher("vit_mini_patch4", img_size=16,
+                               dtype=jnp.float32)
+        points = extraction_points(4, config.basd.num_extraction_points)
+        student, cfg = create_student(
+            "vit_micro_patch4", num_classes=10, drop_path_rate=0.0,
+            img_size=16, capture_layers=points, dtype=jnp.float32,
+            remat=False,
+        )
+        return Trainer(
+            config,
+            student_module=student,
+            student_cfg=cfg,
+            teacher=teacher,
+            teacher_stats=((0.5,) * 3, (0.5,) * 3),
+            dataset_stats=((0.5,) * 3, (0.25,) * 3),
+            mesh=None,
+        )
+
+    def test_kill_and_resume_reproduces_trajectory(self, tmp_path):
+        import jax
+
+        from basd_tpu.data import load_split_arrays
+
+        images, labels = load_split_arrays("synthetic/cifar10-like", "train")
+        train = (images[:128], labels[:128])  # 8 batches of 16
+        val = (images[128:160], labels[128:160])
+
+        # --- uninterrupted reference run ---
+        t_clean = self._make_trainer(tmp_path / "clean")
+        clean_history = t_clean.train(train, val)
+
+        # --- run killed after 5 steps (checkpoint lands at step 3) ---
+        t_kill = self._make_trainer(tmp_path / "kill", save_every=3)
+        real_step = t_kill._step
+        calls = {"n": 0}
+
+        def dying_step(*args):
+            if calls["n"] == 5:
+                raise RuntimeError("simulated preemption")
+            calls["n"] += 1
+            return real_step(*args)
+
+        t_kill._step = dying_step
+        with pytest.raises(RuntimeError, match="preemption"):
+            t_kill.train(train, val)
+        t_kill.checkpoints.wait()  # the step-3 async save must be durable
+
+        # --- fresh process resumes from the mid-epoch checkpoint ---
+        t_resume = self._make_trainer(tmp_path / "kill", save_every=3)
+        start = t_resume.load_checkpoint(
+            str(tmp_path / "kill" / "basd_smoke" / "checkpoints" / "latest")
+        )
+        assert start == 0  # SAME epoch, mid-epoch offset
+        assert t_resume._resume_batch == 3
+        resumed_history = t_resume.train(train, val, start_epoch=start)
+
+        for key in ("train_loss", "train_acc", "val_acc"):
+            np.testing.assert_allclose(
+                resumed_history[key], clean_history[key], rtol=1e-5,
+                err_msg=key,
+            )
+        # resumed final params match the uninterrupted run
+        flat_c = jax.tree_util.tree_leaves(t_clean.state.params)
+        flat_r = jax.tree_util.tree_leaves(t_resume.state.params)
+        for a, b in zip(flat_c, flat_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
