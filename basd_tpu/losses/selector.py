@@ -80,6 +80,58 @@ def temperatures(state: SelectorState) -> jax.Array:
     return jax.nn.softplus(state.log_temperatures)
 
 
+def calibrate_subspace_k(
+    teacher,
+    student_dim: int,
+    calib_images: jax.Array,
+    *,
+    seed: int,
+    num_extraction_points: int,
+    margin: int = 16,
+) -> int:
+    """Staging-time `subspace_k` calibration (config `basd.subspace_k: auto`).
+
+    The rank-mask argument (module docstring) is exact whenever every MP
+    rank stays <= K, so K only needs to clear the LARGEST teacher-layer MP
+    rank. Teacher tokens are frozen, making their ranks a stable property of
+    the data distribution: measure them once on a calibration batch with the
+    SAME projection the production selector will use (identical PRNG
+    derivation), then cap at max_rank + margin rounded up to a multiple of 8
+    (MXU/VPU-friendly). Runs before the train step is jitted — the same
+    staging slot as the intrinsic-dim calibration (reference
+    `train.py:88-118`). Batch-to-batch rank jitter is absorbed by the
+    margin; a saturated rank simply clamps (the same controlled deviation as
+    the static 96 cap, now with measured headroom)."""
+    sel = init_selector(
+        jax.random.PRNGKey(seed + 1),
+        num_extraction_points,
+        student_dim,
+        teacher.spec.embed_dim,
+    )
+
+    # one jitted program: eager dispatch is a compile round-trip per op on
+    # the remote TPU transport (~0.5 s apiece), which would turn this
+    # staging pass into minutes
+    @jax.jit
+    def _max_rank(variables, images, proj_t):
+        out = teacher.module.apply(variables, images, train=False)
+        tokens = jax.lax.stop_gradient(out.tokens)
+        l = tokens.shape[0]
+        z_t = jnp.einsum(
+            "lmd,ed->lme",
+            tokens.astype(jnp.float32).reshape(l, -1, tokens.shape[-1]),
+            proj_t,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.max(marchenko_pastur_rank(z_t))
+
+    max_rank = int(_max_rank(teacher.variables, calib_images, sel.proj_t))
+    k = min(student_dim - 1, 8 * -(-(max_rank + margin) // 8))
+    print(f"subspace_k_calibrated max_rank={max_rank} k={k}")
+    return k
+
+
 def select_and_mix(
     state: SelectorState,
     student_tokens: jax.Array,  # (P, B, N_s, D_s) extraction-point tokens

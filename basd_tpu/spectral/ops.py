@@ -126,12 +126,12 @@ def _eigh_safe(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     if _use_pallas_jacobi(a.shape):
         from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigh
 
-        # sweeps=7: measured convergence plateau on real token Grams —
-        # principal-angle distances match sweeps=9 to 1e-5 and eigenvalue
+        # sweeps=6: measured convergence plateau on real token Grams —
+        # principal-angle distances match sweeps=9 to ~2e-6 and eigenvalue
         # error sits at the fp32 floor (tools/tune_spectral.py, v5e:
-        # 5.5 ms vs 7.0 ms at (48, 96, 96)).
+        # 4.6 ms vs 7.0 ms at (48, 96, 96)).
         solver = _replicated_island(
-            partial(pallas_jacobi_eigh, sweeps=7, interpret=_pallas_interpret())
+            partial(pallas_jacobi_eigh, sweeps=6, interpret=_pallas_interpret())
         )
         w, v = solver(a)  # descending
         return w[..., ::-1], v[..., ::-1]

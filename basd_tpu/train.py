@@ -123,6 +123,28 @@ def run(config) -> dict:
     )
     dataset_stats = get_channel_stats(config.data.dataset)
 
+    # ---- subspace-K calibration (basd.subspace_k: auto) ----
+    # staged like the intrinsic-dim estimate: measure the teacher's MP ranks
+    # once (frozen teacher => stable), size the static K-cap with headroom
+    if config.basd.get("subspace_k") == "auto":
+        from basd_tpu.losses import calibrate_subspace_k
+
+        calib_n = min(config.data.batch_size, len(train_images))
+        calib = eval_view(
+            jnp.asarray(train_images[:calib_n]),
+            img_size,
+            config.data.eval_crop_ratio,
+            teacher.mean,
+            teacher.std,
+        )
+        config.basd.subspace_k = calibrate_subspace_k(
+            teacher,
+            student_cfg.embed_dim,
+            calib,
+            seed=config.run.seed,
+            num_extraction_points=config.basd.num_extraction_points,
+        )
+
     trainer = Trainer(
         config,
         student_module=student,

@@ -42,12 +42,40 @@ def main() -> None:
         arch_overrides={"patch_size": 4},
         capture_layers=points,
         dtype=jnp.bfloat16,
-        remat=True,
+        # no remat: ViT-Tiny at img32/batch128 uses a small fraction of one
+        # chip's HBM, so rematerializing blocks only re-spends FLOPs (the
+        # reference always enables grad checkpointing because its GPU is
+        # memory-bound, `src/train.py:53`; the TPU config knob
+        # `model.vit.remat` still enables it for models that need it)
+        remat=False,
     )
     selector = init_selector(
         jax.random.PRNGKey(1), len(points), cfg.embed_dim,
         teacher.spec.embed_dim,
     )
+
+    rng = np.random.default_rng(0)
+    raw = 40  # host loader raw size for img 32 (round(32/0.875/4)*4)
+    images = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
+    labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
+
+    # staging-time subspace-K calibration (`basd.subspace_k: auto` path):
+    # teacher MP ranks are measured once on a calibration batch and the
+    # static K-cap is sized with headroom — same staging the train
+    # entrypoint runs before jitting the step.
+    from functools import partial
+
+    from basd_tpu.losses import calibrate_subspace_k
+    from basd_tpu.ops.preprocess import eval_view
+
+    calib = jax.jit(partial(
+        eval_view, img_size=img_size, crop_ratio=32 / 40,
+        mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+    ))(images)
+    subspace_k = calibrate_subspace_k(
+        teacher, cfg.embed_dim, calib, seed=0, num_extraction_points=4,
+    )
+
     _, init_fn, step_fn = make_train_step(
         student,
         teacher,
@@ -60,15 +88,11 @@ def main() -> None:
         teacher_stats=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
         dataset_stats=((0.507, 0.487, 0.441), (0.267, 0.256, 0.276)),
         num_classes=num_classes,
+        subspace_k=subspace_k,
     )
     state = init_fn(jax.random.PRNGKey(0), selector)
     step = jax.jit(step_fn, donate_argnums=0)
     teacher_vars = teacher.variables
-
-    rng = np.random.default_rng(0)
-    raw = 40  # host loader raw size for img 32 (round(32/0.875/4)*4)
-    images = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
-    labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
 
     # Timing methodology: on this TPU transport, block_until_ready returns
     # before remote execution completes — only a device->host VALUE fetch
@@ -94,6 +118,16 @@ def main() -> None:
     n_chips = jax.device_count()
     img_per_sec_per_chip = batch / step_time / n_chips
 
+    # MFU vs the v5e bf16 MXU peak (197 TFLOP/s), from XLA's own FLOP count
+    # of the compiled step. Conservative: the spectral islands run fp32
+    # Precision.HIGHEST (multi-pass on the MXU), which this does not credit.
+    try:
+        cost = step.lower(state, teacher_vars, images, labels).compile()
+        flops = cost.cost_analysis()["flops"]
+        mfu = flops / step_time / 197e12
+    except Exception:
+        mfu = None
+
     print(
         json.dumps(
             {
@@ -108,6 +142,9 @@ def main() -> None:
                     "teacher": "dinov2_vitb14",
                     "student": "vit_tiny_patch4_img32",
                     "loss": loss,
+                    "mfu_vs_bf16_peak": (
+                        round(mfu, 4) if mfu is not None else None
+                    ),
                 },
             }
         )
