@@ -154,11 +154,18 @@ def select_and_mix(
     k = min(subspace_k, d_s - 1, b * n_s, b * n_t)
 
     # ---- teacher statistics (no_grad, global batch) ----
+    # the projections are frozen buffers (reference layer_selector.py:49-56
+    # registers them as non-trainable); stop_gradient makes that a property
+    # of this function rather than of the caller's choice of grad leaves —
+    # a whole-SelectorState grad would otherwise push a tangent into the
+    # non-differentiable Pallas eigvals path.
+    proj_t = jax.lax.stop_gradient(state.proj_t)
+    proj_s = jax.lax.stop_gradient(state.proj_s)
     t_flat = jax.lax.stop_gradient(
         teacher_tokens.astype(jnp.float32).reshape(l, b * n_t, d_t)
     )
     z_t = jnp.einsum(
-        "lmd,ed->lme", t_flat, state.proj_t, preferred_element_type=jnp.float32,
+        "lmd,ed->lme", t_flat, proj_t, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST
     )  # (L, M_t, D_s)
 
@@ -173,7 +180,7 @@ def select_and_mix(
     # ---- student subspaces (differentiable) ----
     s_flat = student_tokens.astype(jnp.float32).reshape(p, b * n_s, d_s)
     z_s = jnp.einsum(
-        "pmd,ed->pme", s_flat, state.proj_s, preferred_element_type=jnp.float32,
+        "pmd,ed->pme", s_flat, proj_s, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST
     )
     basis_s, _ = topk_basis(z_s, k)  # (P, D_s, K)

@@ -24,13 +24,29 @@ from basd_tpu.ops.preprocess import dual_view
 
 
 def timeit(f, *args, n=30):
-    r = f(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = f(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n * 1e3
+    """Per-call time via the queue-drain slope.
+
+    On the remote TPU transport `block_until_ready` returns before remote
+    execution completes — only a device->host VALUE fetch truly
+    synchronizes (~33 ms RTT; see bench.py). The device executes enqueued
+    programs in order, so (time of k2 calls + fetch) - (time of k1 calls +
+    fetch) over (k2 - k1) cancels both the RTT and dispatch overhead."""
+    first = jax.tree_util.tree_leaves(f(*args))[0]
+    np.asarray(jax.device_get(first.ravel()[0]))  # compile + settle
+
+    def run(k):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(k):
+            r = f(*args)
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))  # value fetch = sync
+        return time.perf_counter() - t0
+
+    run(3)  # warm the dispatch path
+    t_small = run(5)
+    t_big = run(5 + n)
+    return (t_big - t_small) / n * 1e3
 
 
 def main():
@@ -105,7 +121,11 @@ def main():
 
     onehot = jax.nn.one_hot(labels, num_classes)
 
-    def full_loss(p, sel, x, oh, k):
+    # differentiate only the trainable leaves (student params + selector
+    # temperatures), exactly like the production train step — the frozen
+    # projection buffers must not receive tangents
+    def full_loss(p, log_temps, x, oh, k):
+        sel = selector._replace(log_temperatures=log_temps)
         o = student.apply({"params": p}, x, train=True, rngs={"droppath": k})
         loss, _ = basd_loss(
             sel, o.logits, oh, o.tokens, t_tokens, t_imp,
@@ -114,7 +134,7 @@ def main():
         return loss
 
     f_full_grad = jax.jit(jax.grad(full_loss, argnums=(0, 1)))
-    print(f"full loss fwd+bwd: {timeit(f_full_grad, params, selector, aug, onehot, key):7.3f} ms")
+    print(f"full loss fwd+bwd: {timeit(f_full_grad, params, selector.log_temperatures, aug, onehot, key):7.3f} ms")
 
 
 if __name__ == "__main__":
