@@ -123,14 +123,30 @@ class CheckpointManager:
 
         leaves, treedef = jax.tree_util.tree_flatten_with_path(template_params)
         out = []
+        consumed = set()
         for kp, leaf in leaves:
             key = "/".join(
                 getattr(k, "key", getattr(k, "name", str(k))) for k in kp
             )
+            if key not in flat:
+                raise ValueError(f"checkpoint is missing parameter '{key}'")
             arr = flat[key]
             if arr.shape != leaf.shape:
                 raise ValueError(f"{key}: shape {arr.shape} != {leaf.shape}")
+            consumed.add(key)
             out.append(arr.astype(leaf.dtype))
+        extra = sorted(set(flat) - consumed)
+        if extra:
+            # a checkpoint with leftover parameters belongs to a DIFFERENT
+            # architecture (e.g. deeper model whose early blocks happen to
+            # match shapes) — loading it silently would evaluate the wrong
+            # model; the config snapshot next to the checkpoint is the
+            # train/eval contract (reference eval.py:21-31)
+            raise ValueError(
+                "checkpoint has parameters absent from the model "
+                f"(architecture mismatch): {extra[:6]}"
+                f"{'...' if len(extra) > 6 else ''}"
+            )
         params = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template_params), out
         )

@@ -209,6 +209,25 @@ def compose_config(
     return Config.wrap(resolved)
 
 
+def compose_from_snapshot(
+    path: Path | str, overrides: Iterable[str] = ()
+) -> Config:
+    """Load a run's config snapshot and apply dotted CLI overrides.
+
+    The snapshot written at train time carries the teacher-derived student
+    architecture (`model.arch_overrides`) — the train/eval contract
+    (reference `eval.py:25` re-reads it, SURVEY §5.6). Snapshots are fully
+    resolved already, so no resolver pass runs here."""
+    with open(Path(path)) as f:
+        tree: dict = yaml.safe_load(f)
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override '{ov}' is not of the form key=value")
+        key, _, raw = ov.partition("=")
+        _set_dotted(tree, key, _parse_override_value(raw))
+    return Config.wrap(tree)
+
+
 def save_config(config: Config, path: Path | str) -> None:
     """Snapshot the fully-resolved config (train/eval contract)."""
     path = Path(path)

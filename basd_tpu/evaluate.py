@@ -1,11 +1,13 @@
 """Eval entrypoint: checkpoint-only evaluation (reference `src/eval.py`).
 
-    python -m basd_tpu.evaluate experiment=basd_cifar100 \
+    python -m basd_tpu.evaluate config=outputs/basd_cifar100/config.yaml \
         checkpoint.path=outputs/basd_cifar100/checkpoints/best_model.npz
 
-Rebuilds the student from the config snapshot's `model.arch_overrides`
-(the train/eval contract, reference `eval.py:21-27`), loads a weights-only
-export, and runs the full eval suite.
+Rebuilds the student from the run snapshot's `model.arch_overrides`
+(the train/eval contract, reference `eval.py:21-27` — the snapshot carries
+the teacher-derived architecture), loads a weights-only export, and runs
+the full eval suite. Composing from `experiment=...` instead of `config=`
+also works when the architecture is fully specified by the experiment.
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.checkpoint import CheckpointManager
-from basd_tpu.config import compose_config, save_config
+from basd_tpu.config import compose_config, compose_from_snapshot, save_config
 from basd_tpu.evaluation.metrics import run_eval_suite, save_metrics
 from basd_tpu.models import create_student
 
@@ -75,7 +77,23 @@ def run(config) -> dict:
 
 
 def main() -> None:
-    config = compose_config(sys.argv[1:])
+    # `config=<run_dir>/config.yaml` evaluates against the run's snapshot —
+    # the train/eval contract that carries the teacher-derived student
+    # architecture (reference `eval.py:25`); remaining dotted overrides
+    # (e.g. `checkpoint.path=...`) apply on top. Without it, the config is
+    # composed from the CLI exactly like training.
+    args = list(sys.argv[1:])
+    snapshot = None
+    rest = []
+    for ov in args:
+        if ov.startswith("config="):
+            snapshot = ov.partition("=")[2]
+        else:
+            rest.append(ov)
+    if snapshot is not None:
+        config = compose_from_snapshot(snapshot, rest)
+    else:
+        config = compose_config(args)
     run(config)
 
 

@@ -122,12 +122,37 @@ class ConvNeXtConfig:
     depths: tuple[int, ...] = (3, 3, 9, 3)  # convnext-tiny
     dims: tuple[int, ...] = (96, 192, 384, 768)
     num_classes: int = 0
+    use_grn: bool = False  # ConvNeXt-V2: GRN in the MLP, no layer scale
     dtype: Any = jnp.bfloat16
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-V2, Woo et al. 2023).
+
+    gx = ||y||_2 over spatial positions per channel; nx = gx / mean_c(gx);
+    out = gamma * (y * nx) + beta + y, with gamma/beta zero-initialized so
+    the layer starts as identity. fp32 norm arithmetic (a spatial L2 over
+    thousands of positions overflows bf16's 8-bit exponent headroom at the
+    margins and loses the mean's precision)."""
+
+    dim: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        yf = y.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(yf * yf, axis=(1, 2), keepdims=True))  # (B,1,1,C)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        out = gamma * (yf * nx) + beta + yf
+        return out.astype(self.dtype)
 
 
 class ConvNeXtBlock(nn.Module):
     dim: int
     dtype: Any
+    use_grn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -138,6 +163,12 @@ class ConvNeXtBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
         y = nn.gelu(y, approximate=False)
+        if self.use_grn:
+            # V2 MLP: fc1 -> gelu -> GRN -> fc2 (timm GlobalResponseNormMlp);
+            # V2 drops the V1 layer scale entirely
+            y = GRN(4 * self.dim, self.dtype, name="grn")(y)
+            y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
+            return x + y
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param(
             "gamma", nn.initializers.constant(1e-6), (self.dim,)
@@ -166,7 +197,10 @@ class ConvNeXt(nn.Module):
                     kernel_init=he_conv_init, name=f"down{stage}_conv",
                 )(x)
             for block in range(depth):
-                x = ConvNeXtBlock(dim, cfg.dtype, name=f"stage{stage}_block{block}")(x)
+                x = ConvNeXtBlock(
+                    dim, cfg.dtype, cfg.use_grn,
+                    name=f"stage{stage}_block{block}",
+                )(x)
 
         b, h, w, d = x.shape
         tokens = x.reshape(b, h * w, d).astype(jnp.float32)[None]

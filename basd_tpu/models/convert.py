@@ -145,7 +145,11 @@ def torch_convnext_to_flax(
 ) -> dict[str, Any]:
     """Map a timm ConvNeXt state dict (stem.0/1,
     stages.{s}.blocks.{b}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma},
-    stages.{s}.downsample.0/1) onto `basd_tpu.models.cnn.ConvNeXt`."""
+    stages.{s}.downsample.0/1) onto `basd_tpu.models.cnn.ConvNeXt`.
+
+    ConvNeXt-V2 blocks (timm `convnextv2_*`) carry `mlp.grn.{weight,bias}`
+    instead of the `gamma` layer scale; both layouts are handled (V2 GRN
+    params land on the block's `grn` submodule)."""
     p: dict[str, Any] = {
         "stem_conv": {
             "kernel": _t_conv(state["stem.0.weight"]),
@@ -169,7 +173,7 @@ def torch_convnext_to_flax(
             }
         for b in range(depth):
             t = f"stages.{s}.blocks.{b}."
-            p[f"stage{s}_block{b}"] = {
+            block = {
                 "dwconv": {
                     "kernel": _t_conv(state[t + "conv_dw.weight"]),
                     "bias": state[t + "conv_dw.bias"],
@@ -186,8 +190,15 @@ def torch_convnext_to_flax(
                     "kernel": _t_linear(state[t + "mlp.fc2.weight"]),
                     "bias": state[t + "mlp.fc2.bias"],
                 },
-                "gamma": state[t + "gamma"].reshape(-1),
             }
+            if t + "mlp.grn.weight" in state:  # ConvNeXt-V2
+                block["grn"] = {
+                    "gamma": state[t + "mlp.grn.weight"].reshape(-1),
+                    "beta": state[t + "mlp.grn.bias"].reshape(-1),
+                }
+            else:
+                block["gamma"] = state[t + "gamma"].reshape(-1)
+            p[f"stage{s}_block{b}"] = block
     return {"params": p}
 
 

@@ -58,11 +58,19 @@ _CNN_PRESETS: dict[str, dict] = {
     "resnet18": dict(family="resnet", embed_dim=512, depth=4, mlp_ratio=0.0),
     "resnet50": dict(family="resnet", embed_dim=2048, depth=4, mlp_ratio=0.0),
     "convnext_tiny": dict(family="convnext", embed_dim=768, depth=4, mlp_ratio=4.0),
+    # ConvNeXt-V2 (GRN MLP, no layer scale) — the reference Table-2
+    # cross-architecture teacher is `convnextv2_tiny.fcmae`
+    # (`configs/experiment/basd_imagenet_cross_arch.yaml:6`)
+    "convnextv2_tiny": dict(family="convnext", embed_dim=768, depth=4, mlp_ratio=4.0),
     "resnet_micro": dict(family="resnet", embed_dim=64, depth=4, mlp_ratio=0.0),
 }
 
 
 def resolve_preset(name: str) -> ModelSpec:
+    if name not in _VIT_PRESETS and name not in _CNN_PRESETS and "." in name:
+        # timm-style pretrained tag (`convnextv2_tiny.fcmae`): the tag names
+        # a weight recipe, not an architecture — strip it
+        name = name.split(".", 1)[0]
     if name in _VIT_PRESETS:
         p = _VIT_PRESETS[name]
         return ModelSpec(

@@ -58,7 +58,9 @@ def build_teacher_module(spec: ModelSpec, img_size: int, dtype=jnp.bfloat16):
         width = spec.embed_dim // 8
         return ResNet(ResNetConfig(stage_sizes=stage_sizes, width=width, dtype=dtype))
     if spec.family == "convnext":
-        return ConvNeXt(ConvNeXtConfig(dtype=dtype))
+        return ConvNeXt(
+            ConvNeXtConfig(use_grn=spec.name.startswith("convnextv2"), dtype=dtype)
+        )
     raise ValueError(f"unknown teacher family {spec.family}")
 
 

@@ -66,3 +66,20 @@ class TestSnapshot:
         loaded = load_config(tmp_path / "config.yaml")
         assert loaded.to_dict() == cfg.to_dict()
         assert loaded.model.num_classes == 10
+
+
+def test_compose_from_snapshot_applies_overrides(tmp_path):
+    from basd_tpu.config import compose_config, compose_from_snapshot, save_config
+
+    cfg = compose_config(["experiment=basd_smoke"])
+    cfg.model.arch_overrides = {"embed_dim": 64, "depth": 6}
+    save_config(cfg, tmp_path / "config.yaml")
+    loaded = compose_from_snapshot(
+        tmp_path / "config.yaml",
+        ["checkpoint.path=/x/best_model.npz", "run.output_dir=/y"],
+    )
+    # snapshot fields (incl. train-time derived arch) survive, overrides land
+    assert loaded.model.arch_overrides.to_dict() == {"embed_dim": 64, "depth": 6}
+    assert loaded.checkpoint.path == "/x/best_model.npz"
+    assert loaded.run.output_dir == "/y"
+    assert loaded.model.num_classes == 10

@@ -366,3 +366,132 @@ class TestGoldenTorchParity:
         assert load_checkpoint_stats(path) == (
             (0.5, 0.5, 0.5), (0.1, 0.2, 0.3),
         )
+
+
+class TestConvNeXtV2:
+    """ConvNeXt-V2 (GRN MLP, no layer scale) — the reference Table-2
+    cross-architecture teacher (`configs/experiment/
+    basd_imagenet_cross_arch.yaml:6`, `convnextv2_tiny.fcmae`)."""
+
+    def _torch_twin(self, depths, dims):
+        import torch
+        import torch.nn as nn_t
+
+        class GRNt(nn_t.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.weight = nn_t.Parameter(torch.randn(dim) * 0.1)
+                self.bias = nn_t.Parameter(torch.randn(dim) * 0.1)
+
+            def forward(self, x):  # (B, H, W, C), timm GlobalResponseNorm
+                gx = torch.norm(x, p=2, dim=(1, 2), keepdim=True)
+                nx = gx / (gx.mean(dim=-1, keepdim=True) + 1e-6)
+                return self.weight * (x * nx) + self.bias + x
+
+        class BlockV2(nn_t.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.conv_dw = nn_t.Conv2d(dim, dim, 7, padding=3, groups=dim)
+                self.norm = nn_t.LayerNorm(dim, eps=1e-6)
+                self.mlp = nn_t.Module()
+                self.mlp.fc1 = nn_t.Linear(dim, 4 * dim)
+                self.mlp.grn = GRNt(4 * dim)
+                self.mlp.fc2 = nn_t.Linear(4 * dim, dim)
+
+            def forward(self, x):  # NCHW
+                y = self.conv_dw(x).permute(0, 2, 3, 1)
+                y = self.norm(y)
+                y = self.mlp.fc1(y)
+                y = torch.nn.functional.gelu(y)
+                y = self.mlp.grn(y)
+                y = self.mlp.fc2(y).permute(0, 3, 1, 2)
+                return x + y
+
+        class Stage(nn_t.Module):
+            def __init__(self, s):
+                super().__init__()
+                if s > 0:
+                    self.downsample = nn_t.Sequential()
+                    self.downsample.add_module(
+                        "0", nn_t.LayerNorm(dims[s - 1], eps=1e-6)
+                    )
+                    self.downsample.add_module(
+                        "1", nn_t.Conv2d(dims[s - 1], dims[s], 2, stride=2)
+                    )
+                self.blocks = nn_t.ModuleList(
+                    BlockV2(dims[s]) for _ in range(depths[s])
+                )
+
+            def forward(self, x):
+                if hasattr(self, "downsample"):
+                    x = self.downsample[0](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                    x = self.downsample[1](x)
+                for b in self.blocks:
+                    x = b(x)
+                return x
+
+        class ConvNeXtV2(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.stem = nn_t.Sequential()
+                self.stem.add_module("0", nn_t.Conv2d(3, dims[0], 4, stride=4))
+                self.stem.add_module("1", nn_t.LayerNorm(dims[0], eps=1e-6))
+                self.stages = nn_t.ModuleList(Stage(s) for s in range(len(depths)))
+
+            def forward(self, x):
+                x = self.stem[0](x)
+                x = self.stem[1](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                for st in self.stages:
+                    x = st(x)
+                return x  # (B, C, H, W) final feature map
+
+        return ConvNeXtV2()
+
+    def test_torch_forward_parity(self, tmp_path):
+        import torch
+
+        from basd_tpu.models.cnn import ConvNeXt, ConvNeXtConfig
+
+        torch.manual_seed(0)
+        depths, dims = (1, 1, 2, 1), (8, 16, 24, 32)
+        twin = self._torch_twin(depths, dims).eval()
+        state = {
+            k: v.detach().numpy() for k, v in twin.state_dict().items()
+        }
+        path = tmp_path / "convnextv2.npz"
+        np.savez(path, **state)
+
+        model = ConvNeXt(
+            ConvNeXtConfig(depths=depths, dims=dims, use_grn=True,
+                           dtype=jnp.float32)
+        )
+        x_np = np.random.default_rng(1).random((2, 32, 32, 3)).astype(np.float32)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(x_np), train=False
+        )
+        # GRN params present, layer scale absent (V2 drops it)
+        blk = template["params"]["stage2_block1"]
+        assert "grn" in blk and "gamma" not in blk
+        variables = load_converted_weights(path, template)
+
+        with torch.no_grad():
+            ref = (
+                twin(torch.from_numpy(x_np).permute(0, 3, 1, 2))
+                .permute(0, 2, 3, 1)
+                .numpy()
+            )
+        out = model.apply(variables, jnp.asarray(x_np), train=False)
+        got = np.asarray(out.tokens)[0].reshape(ref.shape)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_preset_alias_and_builder(self):
+        from basd_tpu.models.specs import resolve_preset
+        from basd_tpu.models.teacher import build_teacher_module
+
+        spec = resolve_preset("convnextv2_tiny.fcmae")
+        assert spec.name == "convnextv2_tiny"
+        module = build_teacher_module(spec, img_size=64, dtype=jnp.float32)
+        assert module.config.use_grn
+        assert not build_teacher_module(
+            resolve_preset("convnext_tiny"), img_size=64, dtype=jnp.float32
+        ).config.use_grn

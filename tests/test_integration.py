@@ -208,3 +208,43 @@ class TestPreemptionResume:
         for a, b in zip(flat_c, flat_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestStrictWeightLoad:
+    """Weights-only loads must reject architecture mismatches: a deeper
+    checkpoint whose early blocks happen to shape-match would otherwise
+    silently evaluate a truncated model (found via the evaluate CLI)."""
+
+    def _save(self, tmp_path, tree):
+        from basd_tpu.checkpoint import CheckpointManager
+
+        m = CheckpointManager(tmp_path)
+        m.save_weights(tmp_path / "w.npz", tree, epoch=3)
+        return m
+
+    def test_extra_checkpoint_keys_raise(self, tmp_path):
+        import jax.numpy as jnp
+
+        big = {f"block{i}": {"w": jnp.ones((2, 2))} for i in range(6)}
+        small = {f"block{i}": {"w": jnp.ones((2, 2))} for i in range(4)}
+        m = self._save(tmp_path, big)
+        with pytest.raises(ValueError, match="architecture mismatch"):
+            m.load_weights(tmp_path / "w.npz", small)
+
+    def test_missing_checkpoint_keys_raise(self, tmp_path):
+        import jax.numpy as jnp
+
+        small = {f"block{i}": {"w": jnp.ones((2, 2))} for i in range(4)}
+        big = {f"block{i}": {"w": jnp.ones((2, 2))} for i in range(6)}
+        m = self._save(tmp_path, small)
+        with pytest.raises(ValueError, match="missing parameter"):
+            m.load_weights(tmp_path / "w.npz", big)
+
+    def test_exact_match_round_trips(self, tmp_path):
+        import jax.numpy as jnp
+
+        tree = {"a": {"w": jnp.full((2, 2), 7.0)}, "b": jnp.ones((3,))}
+        m = self._save(tmp_path, tree)
+        params, epoch = m.load_weights(tmp_path / "w.npz", tree)
+        assert epoch == 3
+        np.testing.assert_array_equal(np.asarray(params["a"]["w"]), 7.0)
