@@ -15,11 +15,22 @@ numbers (vs_baseline: null).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent XLA compilation cache: the bench is dominated by first-compile
+# time (~6-8 min cold on the remote transport) and the driver runs it under
+# a timeout; cached binaries make warm runs start in seconds (same setup as
+# tests/conftest.py, keyed by HLO+flags so stale entries can't be served)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
 def main() -> None:
@@ -91,8 +102,17 @@ def main() -> None:
         subspace_k=subspace_k,
     )
     state = init_fn(jax.random.PRNGKey(0), selector)
-    step = jax.jit(step_fn, donate_argnums=0)
     teacher_vars = teacher.variables
+    # compile ONCE and reuse the executable for both the timing loop and
+    # the FLOP count — a second lower().compile() for cost_analysis was a
+    # full extra compile, which matters under the driver's timeout when the
+    # remote transport is slow
+    compiled = (
+        jax.jit(step_fn, donate_argnums=0)
+        .lower(state, teacher_vars, images, labels)
+        .compile()
+    )
+    step = compiled
 
     # Timing methodology: on this TPU transport, block_until_ready returns
     # before remote execution completes — only a device->host VALUE fetch
@@ -122,8 +142,7 @@ def main() -> None:
     # of the compiled step. Conservative: the spectral islands run fp32
     # Precision.HIGHEST (multi-pass on the MXU), which this does not credit.
     try:
-        cost = step.lower(state, teacher_vars, images, labels).compile()
-        flops = cost.cost_analysis()["flops"]
+        flops = compiled.cost_analysis()["flops"]
         mfu = flops / step_time / 197e12
     except Exception:
         mfu = None

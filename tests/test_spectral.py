@@ -385,3 +385,76 @@ class TestJacobiEigh:
         w = np.asarray(pallas_jacobi_eigvals(a, sweeps=12, interpret=True))
         want = np.linalg.eigvalsh(np.asarray(a))
         np.testing.assert_allclose(w, want, rtol=1e-4, atol=1e-5)
+
+
+class TestTridiagSturm:
+    """Householder tridiagonalization + Sturm bisection MP rank
+    (`spectral/tridiag.py`) — the eigenvalues-free fast path."""
+
+    def _planted_covs(self, b=8, m=512, d=96, seed=0):
+        rng = np.random.default_rng(seed)
+        covs, exp = [], []
+        for _ in range(b):
+            r = int(rng.integers(3, d * 2 // 3))
+            u = rng.standard_normal((m, r)) * (3.0 + rng.random(r) * 5)
+            x = u @ rng.standard_normal((r, d)) + rng.standard_normal((m, d))
+            cov = x.T @ x / m
+            covs.append(cov)
+            ev = np.linalg.eigvalsh(cov.astype(np.float64))
+            s2 = np.median(ev)
+            lp = s2 * (1 + (d / m) ** 0.5) ** 2
+            exp.append(int((ev > lp).sum()))
+        return np.stack(covs).astype(np.float32), np.asarray(exp)
+
+    def test_tridiag_preserves_spectrum(self):
+        from basd_tpu.spectral.tridiag import householder_tridiag
+
+        covs, _ = self._planted_covs(b=4, d=48)
+        diag, off = jax.jit(householder_tridiag)(jnp.asarray(covs))
+        for i in range(covs.shape[0]):
+            t = (
+                np.diag(np.asarray(diag[i]))
+                + np.diag(np.asarray(off[i]), 1)
+                + np.diag(np.asarray(off[i]), -1)
+            )
+            w1 = np.linalg.eigvalsh(covs[i].astype(np.float64))
+            w2 = np.linalg.eigvalsh(t.astype(np.float64))
+            rel = np.max(np.abs(w1 - w2)) / np.max(np.abs(w1))
+            assert rel < 5e-6, (i, rel)
+
+    def test_sturm_counts_exact(self):
+        from basd_tpu.spectral.tridiag import householder_tridiag, sturm_count
+
+        covs, _ = self._planted_covs(b=2, d=64, seed=3)
+        diag, off = householder_tridiag(jnp.asarray(covs))
+        ev = np.sort(np.linalg.eigvalsh(covs[0].astype(np.float64)))
+        shifts = jnp.asarray(
+            [[ev[5] + 1e-5, ev[31] + 1e-5, ev[63] + 1.0, ev[0] - 1.0]],
+            jnp.float32,
+        )
+        got = np.asarray(sturm_count(diag[:1], (off * off)[:1], shifts))[0]
+        np.testing.assert_array_equal(got, [6, 32, 64, 0])
+
+    def test_mp_rank_matches_numpy_oracle(self):
+        from basd_tpu.spectral.tridiag import mp_rank_sturm
+
+        covs, exp = self._planted_covs()
+        got = np.asarray(jax.jit(lambda c: mp_rank_sturm(c, 512))(jnp.asarray(covs)))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_mp_rank_matches_eigh_path_on_token_grams(self):
+        """Same ranks as the production eigh-based path on realistic
+        token-Gram spectra (decaying + noise bulk)."""
+        from basd_tpu.spectral.ops import marchenko_pastur_rank
+        from basd_tpu.spectral.tridiag import mp_rank_sturm
+
+        rng = np.random.default_rng(7)
+        m, d = 2048, 192
+        spectrum = np.exp(-np.arange(d) / 12.0) + 1e-3
+        x = (rng.standard_normal((6, m, d)) * np.sqrt(spectrum)).astype(
+            np.float32
+        )
+        cov = jnp.einsum("bmd,bme->bde", jnp.asarray(x), jnp.asarray(x)) / m
+        got = np.asarray(jax.jit(lambda c: mp_rank_sturm(c, m))(cov))
+        ref = np.asarray(marchenko_pastur_rank(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, ref)

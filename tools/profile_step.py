@@ -1,10 +1,15 @@
 """Stage-by-stage profile of the BASD train step on the current backend.
 
-Usage: python tools/profile_step.py
+Usage:
+    python tools/profile_step.py                      # Table-3 workload
+    python tools/profile_step.py --imagenet           # Table-1 workload
+    python tools/profile_step.py --img 224 --batch 256 --student vit_small_patch16
+
 Reports per-stage times so kernel work (Pallas candidates) is targeted at
 measured hot spots, not guesses.
 """
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -50,16 +55,42 @@ def timeit(f, *args, n=30):
 
 
 def main():
-    img_size, batch, num_classes = 32, 128, 100
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--imagenet", action="store_true",
+                    help="Table-1 workload: ViT-Small 224px batch 256")
+    ap.add_argument("--img", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--student", default=None)
+    ap.add_argument("--teacher", default="dinov2_vitb14")
+    ap.add_argument("--n", type=int, default=None, help="timed calls per stage")
+    args = ap.parse_args()
+
+    if args.imagenet:
+        img_size, batch, num_classes = 224, 256, 1000
+        student_name, patch_override = "vit_small_patch16", None
+        remat, n = True, 8
+    else:
+        img_size, batch, num_classes = 32, 128, 100
+        student_name, patch_override = "vit_tiny_patch16", 4
+        remat, n = False, 30
+    img_size = args.img or img_size
+    batch = args.batch or batch
+    student_name = args.student or student_name
+    n = args.n or n
+    global timeit
+    _timeit = timeit
+    timeit = lambda f, *a: _timeit(f, *a, n=n)
+
     t0 = time.perf_counter()
-    teacher = load_teacher("dinov2_vitb14", img_size=img_size, dtype=jnp.bfloat16)
+    teacher = load_teacher(args.teacher, img_size=img_size, dtype=jnp.bfloat16)
     print(f"teacher init: {time.perf_counter() - t0:.1f}s")
 
     points = extraction_points(12, 4)
+    overrides = {"patch_size": patch_override} if patch_override else None
     student, cfg = create_student(
-        "vit_tiny_patch16", num_classes=num_classes, drop_path_rate=0.05,
-        img_size=img_size, arch_overrides={"patch_size": 4},
-        capture_layers=points, dtype=jnp.bfloat16, remat=True,
+        student_name, num_classes=num_classes, drop_path_rate=0.05,
+        img_size=img_size, arch_overrides=overrides,
+        capture_layers=points, dtype=jnp.bfloat16, remat=remat,
     )
     selector = init_selector(
         jax.random.PRNGKey(1), len(points), cfg.embed_dim, teacher.spec.embed_dim
@@ -72,12 +103,13 @@ def main():
     print(f"student init: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
-    u8 = jnp.asarray((rng.random((batch, 40, 40, 3)) * 255).astype(np.uint8))
+    raw = round(img_size / 0.8 / 4) * 4
+    u8 = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
     labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
     key = jax.random.PRNGKey(0)
 
     kwargs = dict(
-        img_size=img_size, crop_ratio=0.8,
+        img_size=img_size, crop_ratio=img_size / raw,
         teacher_stats=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
         dataset_stats=((0.5,) * 3, (0.25,) * 3),
     )
