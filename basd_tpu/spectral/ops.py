@@ -204,21 +204,16 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
     x = x.astype(_F32)
     cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_HI) / m
     cov = (cov + jnp.swapaxes(cov, -1, -2)) * 0.5
-    if _use_pallas_jacobi(cov.shape):
-        from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigvals
+    if d >= 8:
+        # Householder tridiagonalization + Sturm bisection: the rank needs
+        # only the median eigenvalue and one count, never the spectrum.
+        # Replaces the Pallas Jacobi eigvals dispatch (measured on v5e:
+        # 5.7 -> 1.1 ms at (12, 192, 192), 34 -> 3.6 ms at (12, 384, 384);
+        # identical ranks to LAPACK on planted-rank and token-Gram suites).
+        from basd_tpu.spectral.tridiag import mp_rank_sturm
 
-        # sweeps=6: eigenvalue error reaches the fp32 plateau (5.2e-5,
-        # identical MP ranks to LAPACK on real token Grams) while sweeps=5
-        # still flips ranks at the bulk edge (tools/tune_spectral.py, v5e:
-        # 5.5 ms vs 8.4 ms at (12, 192, 192)).
-        solver = _replicated_island(
-            partial(
-                pallas_jacobi_eigvals, sweeps=6, interpret=_pallas_interpret()
-            )
-        )
-        eigvals = solver(cov)
-    else:
-        eigvals = jnp.linalg.eigvalsh(cov)
+        return mp_rank_sturm(cov, m)
+    eigvals = jnp.linalg.eigvalsh(cov)
     sigma2 = jnp.median(eigvals, axis=-1)
     q = d / m
     lambda_plus = sigma2 * (1.0 + q**0.5) ** 2
