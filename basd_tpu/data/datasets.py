@@ -112,6 +112,17 @@ def _parse_synthetic(name: str) -> dict:
     return spec
 
 
+def _hf_load_args(dataset_name: str) -> tuple[str, dict]:
+    """Resolve a dataset identifier for HF `load_dataset*`.
+
+    A hub name passes through; an existing local DIRECTORY is routed to
+    the `imagefolder` builder (train/val/test subdirs with class-named
+    folders) — the fully-offline path for user-local data."""
+    if Path(dataset_name).is_dir():
+        return "imagefolder", {"data_dir": dataset_name}
+    return dataset_name, {}
+
+
 @lru_cache(maxsize=None)
 def dataset_info(dataset_name: str) -> dict:
     """Metadata: image/label keys, class count+names, splits.
@@ -150,13 +161,23 @@ def dataset_info(dataset_name: str) -> dict:
         base.setdefault("synthetic", None)
         return base
 
-    # Last resort: HF builder introspection (works only with a local cache).
+    # Last resort: HF builder introspection — a hub name (needs a local HF
+    # cache in this egress-free env) or a LOCAL imagefolder directory
+    # (class-named subfolders under split dirs; fully offline).
     try:
-        from datasets import ClassLabel, Image, load_dataset_builder
+        from datasets import ClassLabel, Image, load_dataset, load_dataset_builder
 
-        builder = load_dataset_builder(dataset_name, trust_remote_code=True)
-        features = builder.info.features
-        splits = set(builder.info.splits.keys())
+        path, kwargs = _hf_load_args(dataset_name)
+        if kwargs:
+            # folder builders only infer features at prepare time; local
+            # data, so preparing the arrow dataset is offline and cached
+            dsd = load_dataset(path, trust_remote_code=True, **kwargs)
+            features = dsd[next(iter(dsd))].features
+            splits = set(dsd.keys())
+        else:
+            builder = load_dataset_builder(path, trust_remote_code=True)
+            features = builder.info.features
+            splits = set(builder.info.splits.keys())
         image_key = next(n for n, f in features.items() if isinstance(f, Image))
         label_key = next(n for n, f in features.items() if isinstance(f, ClassLabel))
         feat = features[label_key]
@@ -281,9 +302,10 @@ def iter_split_samples(dataset_name: str, split: str, *, limit: int | None = Non
         return
 
     info = dataset_info(dataset_name)
-    from datasets import load_dataset  # local cache only in this env
+    from datasets import load_dataset  # local cache / imagefolder in this env
 
-    ds = load_dataset(dataset_name, split=split, trust_remote_code=True)
+    path, kwargs = _hf_load_args(dataset_name)
+    ds = load_dataset(path, split=split, trust_remote_code=True, **kwargs)
     image_key, label_key = info["image_key"], info["label_key"]
     from PIL import Image as PILImage
 
@@ -382,7 +404,8 @@ def _split_len(dataset_name: str, split: str) -> int:
         return _synthetic_split_len(dataset_name, split)
     from datasets import load_dataset
 
-    return len(load_dataset(dataset_name, split=split, trust_remote_code=True))
+    path, kwargs = _hf_load_args(dataset_name)
+    return len(load_dataset(path, split=split, trust_remote_code=True, **kwargs))
 
 
 @lru_cache(maxsize=8)
