@@ -34,31 +34,48 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
 def main() -> None:
+    import argparse
+
     from basd_tpu.losses import extraction_points, init_selector
     from basd_tpu.models import create_student, load_teacher
     from basd_tpu.training.train_step import make_train_step
 
-    img_size = 32
-    batch = 128
-    num_classes = 100
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--imagenet", action="store_true",
+        help="Table-1 workload (ViT-Small student, 224 px, batch 256) "
+             "instead of the default Table-3 headline",
+    )
+    args = ap.parse_args()
 
-    teacher = load_teacher("dinov2_vitb14", img_size=img_size,
-                           dtype=jnp.bfloat16)
-    points = extraction_points(12, 4)
-    student, cfg = create_student(
-        "vit_tiny_patch16",
-        num_classes=num_classes,
-        drop_path_rate=0.05,
-        img_size=img_size,
-        arch_overrides={"patch_size": 4},
-        capture_layers=points,
-        dtype=jnp.bfloat16,
+    if args.imagenet:
+        img_size, batch, num_classes = 224, 256, 1000
+        student_name, overrides = "vit_small_patch16", None
+        metric = "vit_small_imagenet_basd_distill_throughput"
+        remat, n1, n2 = True, 4, 24
+    else:
+        img_size, batch, num_classes = 32, 128, 100
+        student_name, overrides = "vit_tiny_patch16", {"patch_size": 4}
+        metric = "vit_tiny_basd_distill_throughput"
         # no remat: ViT-Tiny at img32/batch128 uses a small fraction of one
         # chip's HBM, so rematerializing blocks only re-spends FLOPs (the
         # reference always enables grad checkpointing because its GPU is
         # memory-bound, `src/train.py:53`; the TPU config knob
         # `model.vit.remat` still enables it for models that need it)
-        remat=False,
+        remat, n1, n2 = False, 10, 110
+
+    teacher = load_teacher("dinov2_vitb14", img_size=img_size,
+                           dtype=jnp.bfloat16)
+    points = extraction_points(12, 4)
+    student, cfg = create_student(
+        student_name,
+        num_classes=num_classes,
+        drop_path_rate=0.05,
+        img_size=img_size,
+        arch_overrides=overrides,
+        capture_layers=points,
+        dtype=jnp.bfloat16,
+        remat=remat,
     )
     selector = init_selector(
         jax.random.PRNGKey(1), len(points), cfg.embed_dim,
@@ -66,7 +83,7 @@ def main() -> None:
     )
 
     rng = np.random.default_rng(0)
-    raw = 40  # host loader raw size for img 32 (round(32/0.875/4)*4)
+    raw = round(img_size / 0.875 / 4) * 4  # host loader raw size
     images = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
     labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
 
@@ -80,7 +97,7 @@ def main() -> None:
     from basd_tpu.ops.preprocess import eval_view
 
     calib = jax.jit(partial(
-        eval_view, img_size=img_size, crop_ratio=32 / 40,
+        eval_view, img_size=img_size, crop_ratio=img_size / raw,
         mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
     ))(images)
     subspace_k = calibrate_subspace_k(
@@ -95,7 +112,7 @@ def main() -> None:
         warmup_steps=1000,
         label_smoothing=0.01,
         img_size=img_size,
-        crop_ratio=32 / 40,
+        crop_ratio=img_size / raw,
         teacher_stats=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
         dataset_stats=((0.507, 0.487, 0.441), (0.267, 0.256, 0.276)),
         num_classes=num_classes,
@@ -130,7 +147,6 @@ def main() -> None:
         return time.perf_counter() - start, state, loss
 
     _, state, _ = run(5, state)  # warmup/compile
-    n1, n2 = 10, 110
     t1, state, _ = run(n1, state)
     t2, state, loss = run(n2, state)
     step_time = (t2 - t1) / (n2 - n1)
@@ -150,7 +166,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "vit_tiny_basd_distill_throughput",
+                "metric": metric,
                 "value": round(img_per_sec_per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": None,
@@ -159,7 +175,7 @@ def main() -> None:
                     "batch": batch,
                     "chips": n_chips,
                     "teacher": "dinov2_vitb14",
-                    "student": "vit_tiny_patch4_img32",
+                    "student": f"{student_name}_img{img_size}",
                     "loss": loss,
                     "mfu_vs_bf16_peak": (
                         round(mfu, 4) if mfu is not None else None

@@ -20,6 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# same persistent compile cache as bench.py — stage programs are large and
+# the remote transport's compile round-trips are slow
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 from basd_tpu.losses import basd_loss, extraction_points, init_selector
 from basd_tpu.losses.selector import select_and_mix
 from basd_tpu.models import create_student, load_teacher
