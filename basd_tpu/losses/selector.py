@@ -121,8 +121,10 @@ def calibrate_subspace_k(
             "lmd,ed->lme",
             tokens.astype(jnp.float32).reshape(l, -1, tokens.shape[-1]),
             proj_t,
+            # same precision as the production selector projection so the
+            # measured ranks size K against the numerics that will run
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.max(marchenko_pastur_rank(z_t))
 
@@ -164,9 +166,12 @@ def select_and_mix(
     t_flat = jax.lax.stop_gradient(
         teacher_tokens.astype(jnp.float32).reshape(l, b * n_t, d_t)
     )
+    # bf16x3 for the big data-side projections — strictly above the
+    # reference's bf16-autocast matmul contract at half the HIGHEST cost
+    # (see spectral/ops.py `_DATA`)
     z_t = jnp.einsum(
         "lmd,ed->lme", t_flat, proj_t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=jax.lax.Precision.HIGH
     )  # (L, M_t, D_s)
 
     ranks = marchenko_pastur_rank(z_t)  # (L,)
@@ -181,7 +186,7 @@ def select_and_mix(
     s_flat = student_tokens.astype(jnp.float32).reshape(p, b * n_s, d_s)
     z_s = jnp.einsum(
         "pmd,ed->pme", s_flat, proj_s, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=jax.lax.Precision.HIGH
     )
     basis_s, _ = topk_basis(z_s, k)  # (P, D_s, K)
 

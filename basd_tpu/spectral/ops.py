@@ -43,6 +43,16 @@ _F32 = jnp.float32
 # Schulz iterations and Gram spectra need true fp32 arithmetic (the coupled
 # sqrt iteration amplifies bf16 rounding into divergence/NaN).
 _HI = jax.lax.Precision.HIGHEST
+# Data-side matmuls (token projections, Gram/cov builds over M >> D
+# samples): bf16x3 (~TF32 mantissa coverage). STRICTLY more precise than
+# the reference's own contract — its projections/Grams run as bf16 matmuls
+# under torch autocast (`trainer.py:140` wraps the selector; torch.matmul
+# is on the bf16 autocast list even for .float() inputs) — at half the
+# MXU passes of HIGHEST (measured: the z_t projection + Gram builds were
+# ~2/3 of the Table-1 selector forward). Small-matrix spectral math
+# (eigh, Newton-Schulz, principal angles) stays HIGHEST: NS convergence
+# and eigh JVP stability genuinely need full fp32 there.
+_DATA = jax.lax.Precision.HIGH
 
 # Ambient mesh for Pallas dispatch under multi-device programs. A Pallas
 # kernel inside a GSPMD-partitioned jit must live in a manual (shard_map)
@@ -175,7 +185,7 @@ def centered_gram(z: jax.Array) -> jax.Array:
     """(..., M, D) -> (..., D, D) fp32 Gram of the column-centered matrix."""
     z = z.astype(_F32)
     zc = z - jnp.mean(z, axis=-2, keepdims=True)
-    return jnp.einsum("...md,...me->...de", zc, zc, preferred_element_type=_F32, precision=_HI)
+    return jnp.einsum("...md,...me->...de", zc, zc, preferred_element_type=_F32, precision=_DATA)
 
 
 def grassmann_basis(z: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -202,7 +212,7 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
     """
     m, d = x.shape[-2], x.shape[-1]
     x = x.astype(_F32)
-    cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_HI) / m
+    cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_DATA) / m
     cov = (cov + jnp.swapaxes(cov, -1, -2)) * 0.5
     if d >= 8:
         # Householder tridiagonalization + Sturm bisection: the rank needs

@@ -132,14 +132,26 @@ def pallas_jacobi_eigvals(
     return w.reshape(*batch_shape, n0)
 
 
-# VMEM budget per grid program: in + 2 outs + 2 scratch (chunk, n, n) fp32
-# plus step temporaries must fit in ~16 MB; target ~2 MB of state.
-_VMEM_STATE_BUDGET = 600_000  # elements per (chunk, n, n) buffer
+# VMEM budget per grid program: ~10 live (chunk, n, n) fp32 buffers —
+# DOUBLE-BUFFERED input and eigenvector-output blocks (Mosaic pipelines
+# grid steps), 2 scratch accumulators, and ~2 step temporaries (the
+# rotated copies of A and V inside the loop body) — must fit the 16 MB
+# scoped-vmem stack. The old per-buffer-only budget OOM'd at n=200
+# (Table-1 subspace_k): 17.6 MB requested vs the 16 MB limit, and a
+# 7-buffer model still left 16.9 MB — the double buffering is real.
+_VMEM_BYTES_BUDGET = 12_000_000
+_LIVE_BUFFERS = 10
 
 
 def _chunk_batch(b: int, n: int) -> int:
-    chunk = max(1, _VMEM_STATE_BUDGET // (n * n))
-    return min(b, chunk)
+    max_chunk = max(1, _VMEM_BYTES_BUDGET // (n * n * 4 * _LIVE_BUFFERS))
+    if b <= max_chunk:
+        return b
+    # spread the batch evenly over the fewest grid steps instead of taking
+    # max_chunk directly: chunk=46 on a 48-batch would pad to 92 matrices
+    # (measured +2.7 ms on the headline step) — chunk=24 pads to zero.
+    n_chunks = -(-b // max_chunk)
+    return -(-b // n_chunks)
 
 
 def _pallas_eigh_raw(a: jax.Array, sweeps: int, interpret: bool):
