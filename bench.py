@@ -52,7 +52,10 @@ def main() -> None:
         img_size, batch, num_classes = 224, 256, 1000
         student_name, overrides = "vit_small_patch16", None
         metric = "vit_small_imagenet_basd_distill_throughput"
-        remat, n1, n2 = True, 4, 24
+        # no remat here either: ViT-Small activations at b256/224px are
+        # ~5 GB bf16, well inside one v5e chip's 16 GB HBM (measured fit;
+        # the config knob model.vit.remat still exists for larger models)
+        remat, n1, n2 = False, 4, 24
     else:
         img_size, batch, num_classes = 32, 128, 100
         student_name, overrides = "vit_tiny_patch16", {"patch_size": 4}
