@@ -45,6 +45,7 @@ _VIT_PRESETS: dict[str, dict] = {
     "vit_tiny_patch16": dict(embed_dim=192, depth=12, num_heads=3, patch_size=16),
     "vit_small_patch16": dict(embed_dim=384, depth=12, num_heads=6, patch_size=16),
     "vit_base_patch16": dict(embed_dim=768, depth=12, num_heads=12, patch_size=16),
+    "vit_large_patch16": dict(embed_dim=1024, depth=24, num_heads=16, patch_size=16),
     # DINOv2-style teachers (patch-14 grids; reference teacher_model_name)
     "dinov2_vits14": dict(embed_dim=384, depth=12, num_heads=6, patch_size=14),
     "dinov2_vitb14": dict(embed_dim=768, depth=12, num_heads=12, patch_size=14),
