@@ -525,16 +525,26 @@ nuclear_norm_pair.defvjp(lambda s, t, iters: _nuc_pair_fwd(s, t, iters),
 
 def _polar_orthonormalize(v: jax.Array, iters: int = 14) -> jax.Array:
     """orth(V) = V (V^T V)^-1/2 via Newton-Schulz polar on the tall matrix:
-    X <- 1.5 X - 0.5 X (X^T X). Column-space preserving, all matmuls."""
+    X <- 1.5 X - 0.5 X (X^T X). Column-space preserving, all matmuls.
+
+    bf16x3 matmuls (`_DATA`): this orthonormalization iteration is
+    self-correcting — each step contracts toward the orthonormal manifold,
+    so per-step rounding does not accumulate (unlike the COUPLED (Y, Z)
+    Newton-Schulz pairs used for matrix square roots, which stay HIGHEST —
+    their rounding compounds into divergence). Any residual
+    non-orthonormality is absorbed by the final Rayleigh-Ritz. Measured:
+    subspace accuracy unchanged (41 spectral + 27 selector-oracle tests);
+    topk at Table-1 widths 22.3 -> 21.0 ms only — the 168-matmul chain is
+    LATENCY-bound, not FLOP-bound, so cheaper passes barely help."""
     scale = jnp.sqrt(
         jnp.sum(v * v, axis=(-2, -1), keepdims=True)
     )
     x = v / jnp.maximum(scale, jnp.finfo(_F32).tiny)
     for _ in range(iters):
         gram = jnp.einsum("...di,...dj->...ij", x, x,
-                          preferred_element_type=_F32, precision=_HI)
+                          preferred_element_type=_F32, precision=_DATA)
         x = 1.5 * x - 0.5 * jnp.einsum(
-            "...di,...ij->...dj", x, gram, preferred_element_type=_F32, precision=_HI)
+            "...di,...ij->...dj", x, gram, preferred_element_type=_F32, precision=_DATA)
     return x
 
 
@@ -566,7 +576,7 @@ def topk_basis(
     gn = g / jnp.maximum(gnorm, jnp.finfo(_F32).tiny)
     for _ in range(g_iters):
         v = jnp.einsum("...de,...ek->...dk", gn, v,
-                       preferred_element_type=_F32, precision=_HI)
+                       preferred_element_type=_F32, precision=_DATA)
         v = _polar_orthonormalize(v, polar_iters)
     # Rayleigh-Ritz on the original-scale Gram
     r = jnp.einsum("...dk,...de,...el->...kl", v, g, v,
