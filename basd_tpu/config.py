@@ -22,7 +22,6 @@ DictConfig.
 from __future__ import annotations
 
 import copy
-import json
 import re
 from pathlib import Path
 from typing import Any, Callable, Iterable, Mapping
@@ -239,7 +238,3 @@ def save_config(config: Config, path: Path | str) -> None:
 def load_config(path: Path | str) -> Config:
     with open(path) as f:
         return Config.wrap(yaml.safe_load(f))
-
-
-def config_json(config: Config) -> str:
-    return json.dumps(config.to_dict(), indent=2, sort_keys=True)
