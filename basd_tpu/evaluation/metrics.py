@@ -102,7 +102,7 @@ def evaluate_model(
         jnp.asarray(valid_indices, jnp.int32) if valid_indices is not None else None
     )
 
-    def eval_step(params, imgs_u8, labels, mask):
+    def eval_step(carry, params, imgs_u8, labels, mask):
         x = eval_view(imgs_u8, img_size, crop_ratio, mean, std)
         logits = apply_fn({"params": params}, x, train=False).logits
         if valid is not None:
@@ -116,7 +116,8 @@ def evaluate_model(
         k = min(5, c)
         _, topk = jax.lax.top_k(logits, k)
         top5 = jnp.sum(mask * jnp.any(topk == labels[:, None], axis=-1))
-        return loss_sum, top1, top5
+        cl, c1, c5 = carry
+        return cl + loss_sum, c1 + top1, c5 + top5
 
     owner = _cache_owner(apply_fn, model)
     step_fn = eval_step
@@ -126,7 +127,12 @@ def evaluate_model(
         a = jnp.asarray(a)
         return jax.device_put(a, sharding) if sharding is not None else a
 
-    total, loss_sum, top1, top5 = 0, 0.0, 0.0, 0.0
+    # Sums accumulate in a carried DEVICE tuple across batches — one value
+    # fetch per split instead of one ~33 ms transport round-trip per batch
+    # (round-2 weak #3: per-epoch val on CIFAR-sized splits paid seconds of
+    # pure RTT in `float(li)` syncs).
+    carry = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    total = 0
     n = len(labels)
     for lo, hi in _batches(n, batch_size):
         # pad the tail batch to the static batch size and mask the padding
@@ -138,12 +144,10 @@ def evaluate_model(
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
             labs = np.concatenate([labs, np.zeros_like(labs[:pad])])
             mask[hi - lo :] = 0.0
-        li, t1, t5 = eval_step(params, put(imgs), put(labs), put(mask))
-        loss_sum += float(li)
-        top1 += float(t1)
-        top5 += float(t5)
+        carry = eval_step(carry, params, put(imgs), put(labs), put(mask))
         total += hi - lo
 
+    loss_sum, top1, top5 = (float(v) for v in carry)
     return {
         "val_acc": 100.0 * top1 / total,
         "val_acc_top5": 100.0 * top5 / total,

@@ -50,6 +50,7 @@ def build_teacher_module(spec: ModelSpec, img_size: int, dtype=jnp.bfloat16):
             num_classes=0,
             drop_path_rate=0.0,
             has_cls_token=spec.has_cls_token,
+            layer_scale_init=spec.layer_scale_init,
             dtype=dtype,
         )
         return VisionTransformer(cfg, capture_layers=tuple(range(spec.depth)))

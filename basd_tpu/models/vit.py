@@ -37,6 +37,11 @@ class ViTConfig:
     num_classes: int = 1000
     drop_path_rate: float = 0.0
     has_cls_token: bool = True
+    # DINOv2-family ViTs scale each residual branch by a learned per-channel
+    # gamma initialized tiny (`ls1.gamma`/`ls2.gamma`, init 1e-5 — the
+    # reference's flagship torch.hub teachers carry these,
+    # `/root/reference/src/models/teacher.py:114-116`). None = plain ViT.
+    layer_scale_init: float | None = None
     dtype: Any = jnp.bfloat16
     remat: bool = False
 
@@ -114,11 +119,13 @@ class Attention(nn.Module):
         )
         # deferred normalization: exp(x - max) runs in fp32 but the 1/sum
         # divide moves from the (B, H, N, N) tensor to the (B, N, H, hd)
-        # output of the AV matmul — one fewer fp32 pass over the N^2 buffer
-        # (measured 98 -> 64 ms over the 12-layer ViT-B/14 teacher fwd at
-        # N=257, b256, with max-|err| vs an fp32 oracle unchanged: the bf16
+        # output of the AV matmul. Isolated A/B (12x a single layer, N=257,
+        # b256) measured 98 -> 64 ms, but the IN-CONTEXT teacher forward was
+        # unchanged (170 vs 176 ms — XLA's fusion already avoided the pass
+        # the isolated benchmark pays; docs/DESIGN.md section 6). Kept
+        # because it is numerics-equivalent with no regression: the bf16
         # rounding point just shifts from normalized to unnormalized
-        # probabilities, both in [0, 1]).
+        # probabilities, both in [0, 1].
         lf = logits.astype(jnp.float32)
         m = jnp.max(lf, axis=-1, keepdims=True)
         e = jnp.exp(lf - m)
@@ -181,6 +188,17 @@ class Block(nn.Module):
     drop_path: float
     has_cls_token: bool
     dtype: Any
+    layer_scale_init: float | None = None
+
+    def _layer_scale(self, name: str, y: jax.Array) -> jax.Array:
+        if self.layer_scale_init is None:
+            return y
+        gamma = self.param(
+            name,
+            nn.initializers.constant(self.layer_scale_init),
+            (self.dim,),
+        )
+        return y * gamma.astype(self.dtype)
 
     @nn.compact
     def __call__(
@@ -191,12 +209,14 @@ class Block(nn.Module):
             self.dim, self.num_heads, self.has_cls_token, self.dtype,
             name="attn",
         )(y)
+        y = self._layer_scale("ls1", y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(
             self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp"
         )(y)
+        y = self._layer_scale("ls2", y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
         return x, importance
 
@@ -264,6 +284,7 @@ class VisionTransformer(nn.Module):
                 rate,
                 cfg.has_cls_token,
                 cfg.dtype,
+                cfg.layer_scale_init,
                 name=f"block{i}",
             )(x, not train)
             if i in self.capture_layers:

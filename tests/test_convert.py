@@ -8,7 +8,7 @@ from basd_tpu.models import VisionTransformer, ViTConfig
 from basd_tpu.models.convert import load_converted_weights, torch_vit_to_flax
 
 
-def _make_torch_style_state(cfg: ViTConfig, rng) -> dict:
+def _make_torch_style_state(cfg: ViTConfig, rng, layer_scale=False) -> dict:
     """Synthesize a timm/DINOv2-style state dict with correct shapes."""
     d, depth = cfg.embed_dim, cfg.depth
     hidden = int(d * cfg.mlp_ratio)
@@ -39,6 +39,9 @@ def _make_torch_style_state(cfg: ViTConfig, rng) -> dict:
         s[b + "mlp.fc1.bias"] = np.zeros(hidden, np.float32)
         s[b + "mlp.fc2.weight"] = rng.normal(size=(d, hidden)).astype(np.float32)
         s[b + "mlp.fc2.bias"] = np.zeros(d, np.float32)
+        if layer_scale:
+            s[b + "ls1.gamma"] = rng.normal(size=(d,)).astype(np.float32)
+            s[b + "ls2.gamma"] = rng.normal(size=(d,)).astype(np.float32)
     return s
 
 
@@ -88,7 +91,8 @@ class TestConversion:
         cfg = _cfg()
         rng = np.random.default_rng(2)
         state = _make_torch_style_state(cfg, rng)
-        state["pos_embed"] = np.zeros((1, 99, 24), np.float32)  # wrong N
+        # wrong embed dim (not a pos-embed grid mismatch, which is resampled)
+        state["cls_token"] = np.zeros((1, 1, 99), np.float32)
         path = tmp_path / "bad.npz"
         np.savez(path, **state)
         model = VisionTransformer(cfg)
@@ -99,6 +103,21 @@ class TestConversion:
             assert False, "expected shape mismatch error"
         except ValueError as e:
             assert "shape" in str(e)
+
+    def test_malformed_pos_embed_grid_raises(self, tmp_path):
+        cfg = _cfg()
+        state = _make_torch_style_state(cfg, np.random.default_rng(2))
+        state["pos_embed"] = np.zeros((1, 99, 24), np.float32)  # 98/99 not square
+        path = tmp_path / "bad_grid.npz"
+        np.savez(path, **state)
+        model = VisionTransformer(cfg)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="square patch grid"):
+            load_converted_weights(path, template)
 
 
 class TestCNNConversion:
@@ -226,6 +245,15 @@ class TestGoldenTorchParity:
                 out = (attn @ v).transpose(1, 2).reshape(b, n, d)
                 return self.proj(out), imp
 
+        class LayerScale(nn_t.Module):
+            # DINOv2 naming: module `ls1`/`ls2`, parameter `gamma`
+            def __init__(self, d, init):
+                super().__init__()
+                self.gamma = nn_t.Parameter(init * torch.ones(d))
+
+            def forward(self, x):
+                return x * self.gamma
+
         class Block(nn_t.Module):
             def __init__(self):
                 super().__init__()
@@ -233,6 +261,11 @@ class TestGoldenTorchParity:
                 hidden = int(d * cfg.mlp_ratio)
                 self.norm1 = nn_t.LayerNorm(d, eps=1e-6)
                 self.attn = Attn()
+                if cfg.layer_scale_init is not None:
+                    self.ls1 = LayerScale(d, cfg.layer_scale_init)
+                    self.ls2 = LayerScale(d, cfg.layer_scale_init)
+                else:
+                    self.ls1 = self.ls2 = nn_t.Identity()
                 self.norm2 = nn_t.LayerNorm(d, eps=1e-6)
                 self.mlp = nn_t.Sequential()
                 self.mlp.fc1 = nn_t.Linear(d, hidden)
@@ -241,8 +274,10 @@ class TestGoldenTorchParity:
 
             def forward(self, x):
                 y, imp = self.attn(self.norm1(x))
-                x = x + y
-                x = x + self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
+                x = x + self.ls1(y)
+                x = x + self.ls2(
+                    self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
+                )
                 return x, imp
 
         class ViT(nn_t.Module):
@@ -333,6 +368,159 @@ class TestGoldenTorchParity:
                 atol=2e-6,
                 err_msg=f"layer {layer} importance",
             )
+
+    def test_layer_scale_activation_parity(self, tmp_path):
+        """Real-DINOv2 fidelity (round-2 VERDICT missing #1): a twin WITH
+        LayerScale (randomized gammas so the mapping is load-bearing)
+        must convert bit-faithfully onto a `dinov2_*` preset teacher."""
+        import torch
+
+        from basd_tpu.models import load_teacher
+        from basd_tpu.models.convert import export_teacher_npz
+        from basd_tpu.models.specs import resolve_preset
+
+        spec = resolve_preset("dinov2_micro_patch4")
+        assert spec.layer_scale_init == 1e-5
+        img_size = 16
+        cfg = ViTConfig(
+            img_size=img_size, patch_size=spec.patch_size,
+            embed_dim=spec.embed_dim, depth=spec.depth,
+            num_heads=spec.num_heads, mlp_ratio=spec.mlp_ratio,
+            num_classes=0, layer_scale_init=spec.layer_scale_init,
+            dtype=jnp.float32,
+        )
+        torch.manual_seed(1)
+        twin = self._torch_twin(cfg).eval()
+        with torch.no_grad():  # randomize gammas: conversion must carry them
+            for blk in twin.blocks:
+                blk.ls1.gamma.normal_()
+                blk.ls2.gamma.normal_()
+        state = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+        assert "blocks.0.ls1.gamma" in state
+        path = tmp_path / "twin_ls.npz"
+        export_teacher_npz(path, state)
+
+        teacher = load_teacher(
+            "dinov2_micro_patch4", img_size=img_size,
+            weights_path=str(path), dtype=jnp.float32,
+        )
+        got = np.asarray(
+            teacher.variables["params"]["block0"]["ls1"]
+        )
+        np.testing.assert_array_equal(got, state["blocks.0.ls1.gamma"])
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, img_size, img_size, 3)).astype(np.float32)
+        with torch.no_grad():
+            pooled_t, tokens_t, imps_t = twin(
+                torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+            )
+        out = teacher.module.apply(teacher.variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(
+            np.asarray(out.logits), pooled_t.numpy(), atol=2e-5
+        )
+        for layer in range(spec.depth):
+            np.testing.assert_allclose(
+                np.asarray(out.tokens[layer]), tokens_t[layer].numpy(),
+                atol=2e-5, err_msg=f"layer {layer} tokens",
+            )
+
+    def test_strict_rejects_unconsumed_source_keys(self, tmp_path):
+        """A checkpoint carrying weights our architecture doesn't model
+        (e.g. DINOv2 register tokens) must fail loudly, not silently
+        drop them (round-2 VERDICT weak #2)."""
+        import pytest
+
+        cfg = _cfg()
+        state = _make_torch_style_state(cfg, np.random.default_rng(6))
+        state["register_tokens"] = np.zeros((1, 4, cfg.embed_dim), np.float32)
+        path = tmp_path / "regs.npz"
+        np.savez(path, **state)
+        model = VisionTransformer(cfg)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+        with pytest.raises(ValueError, match="never consumed"):
+            load_converted_weights(path, template)
+        # explicit opt-out still loads
+        load_converted_weights(path, template, strict=False)
+
+    def test_strict_rejects_unfilled_template_leaves(self, tmp_path):
+        """A plain-ViT checkpoint grafted onto a LayerScale template must
+        fail loudly: the gammas would silently stay random (round-2
+        VERDICT missing #1's exact failure shape, in reverse)."""
+        import pytest
+
+        cfg = _cfg()
+        state = _make_torch_style_state(cfg, np.random.default_rng(7))
+        path = tmp_path / "plain.npz"
+        np.savez(path, **state)
+        ls_cfg = ViTConfig(
+            img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=2,
+            mlp_ratio=2.0, num_classes=7, layer_scale_init=1e-5,
+            dtype=jnp.float32,
+        )
+        model = VisionTransformer(ls_cfg)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+        with pytest.raises(ValueError, match="never filled"):
+            load_converted_weights(path, template)
+
+    def test_missing_head_is_allowlisted(self, tmp_path):
+        """Backbone-only source + headed template: head stays at its init
+        (timm re-initializes heads on class-count change) and nothing
+        raises; the backbone must still be grafted."""
+        cfg = _cfg()
+        state = _make_torch_style_state(cfg, np.random.default_rng(8))
+        del state["head.weight"], state["head.bias"]
+        path = tmp_path / "headless.npz"
+        np.savez(path, **state)
+        model = VisionTransformer(cfg)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+        variables = load_converted_weights(path, template)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["block0"]["attn"]["qkv"]["kernel"]),
+            state["blocks.0.attn.qkv.weight"].T,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["head"]["kernel"]),
+            np.asarray(template["params"]["head"]["kernel"]),
+        )
+
+    def test_pos_embed_grid_interpolation(self, tmp_path):
+        """DINOv2 ships the 518 px pos-embed grid; conversion to a smaller
+        teacher grid must bicubically resample it (torch oracle), CLS
+        entry kept verbatim."""
+        import torch
+
+        cfg = _cfg()  # 4x4 grid + CLS = 17
+        state = _make_torch_style_state(cfg, np.random.default_rng(9))
+        d = cfg.embed_dim
+        src = np.random.default_rng(10).normal(size=(1, 65, d)).astype(np.float32)
+        state["pos_embed"] = src  # 8x8 grid + CLS
+        path = tmp_path / "big_grid.npz"
+        np.savez(path, **state)
+        model = VisionTransformer(cfg)
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+        variables = load_converted_weights(path, template)
+        got = np.asarray(variables["params"]["pos_embed"])
+        assert got.shape == (1, 17, d)
+        np.testing.assert_array_equal(got[:, 0], src[:, 0])  # CLS verbatim
+        oracle = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(src[:, 1:]).reshape(1, 8, 8, d).permute(0, 3, 1, 2),
+                size=(4, 4), mode="bicubic", align_corners=False,
+            )
+            .permute(0, 2, 3, 1)
+            .reshape(1, 16, d)
+            .numpy()
+        )
+        np.testing.assert_allclose(got[:, 1:], oracle, atol=1e-6)
 
     def test_pth_pretrained_cfg_stats(self, tmp_path):
         import torch

@@ -254,3 +254,178 @@ class TestReferenceParity:
         g_ours = ours_run["temp_grad"]
         scale = np.abs(g_ref).max()
         np.testing.assert_allclose(g_ours, g_ref, atol=5e-2 * scale)
+
+
+class TestTrajectoryParity:
+    """N-step TRAINING-TRAJECTORY parity (round-2 VERDICT missing #2).
+
+    The single-point tests above prove one loss/gradient evaluation; here
+    both implementations run the SAME 30-step optimization — reference
+    `BASDLoss` + torch AdamW vs `basd_loss` + optax adamw, identical init
+    and hyperparameters, trainables = student tokens + logits + the 4
+    log-temperatures — and the losses, mixing weights, and temperatures
+    must CO-EVOLVE within tolerance. This is the strongest offline proxy
+    for the north-star accuracy parity (the reference hot loop,
+    `/root/reference/src/training/trainer.py:133-159`, is exactly
+    loss -> backward -> AdamW-family step).
+    """
+
+    STEPS = 30
+    LR, BETAS, EPS, WD = 3e-3, (0.9, 0.999), 1e-8, 0.01
+
+    @staticmethod
+    def _recover_mixing_weights(mixed, stacked):
+        """Least-squares recovery of the (L,) softmax mixing weights from a
+        mixed teacher-token tensor — implementation-agnostic, so both
+        sides are read through the same lens."""
+        a = stacked.reshape(len(stacked), -1).T  # (BND, L)
+        w, *_ = np.linalg.lstsq(a, mixed.reshape(-1), rcond=None)
+        return w
+
+    @pytest.fixture(scope="class")
+    def torch_trajectory(self, problem, reference_run):
+        import torch
+
+        from src.losses.combined import BASDLoss
+
+        torch.manual_seed(0)
+        ref = BASDLoss(
+            base_criterion=torch.nn.CrossEntropyLoss(label_smoothing=SMOOTHING),
+            student_dim=D_S,
+            teacher_dim=D_T,
+            student_depth=4,
+            num_student_tokens=N_S,
+            config=SimpleNamespace(num_extraction_points=P),
+            teacher_has_cls_token=True,
+        )
+        # identical frozen projections as the jax side (reference_run's)
+        with torch.no_grad():
+            ref.layer_selector.proj_s.copy_(
+                torch.tensor(reference_run["proj_s"])
+            )
+            ref.layer_selector.proj_t.copy_(
+                torch.tensor(reference_run["proj_t"])
+            )
+
+        s_params = [
+            torch.nn.Parameter(torch.tensor(problem["student_tokens"][i]))
+            for i in range(P)
+        ]
+        logits = torch.nn.Parameter(torch.tensor(problem["logits"]))
+        opt = torch.optim.AdamW(
+            [*s_params, logits, ref.layer_selector.log_temperatures],
+            lr=self.LR, betas=self.BETAS, eps=self.EPS, weight_decay=self.WD,
+        )
+        t_tokens = {i: torch.tensor(problem["teacher_tokens"][i]) for i in range(L)}
+        t_attns = {i: torch.tensor(problem["attn"][i]) for i in range(L)}
+        soft = torch.tensor(problem["soft"])
+        stacked = problem["teacher_tokens"]
+
+        losses, temps, weights = [], [], []
+        for _ in range(self.STEPS):
+            opt.zero_grad()
+            s_tokens = dict(zip(ref.token_layers, s_params))
+            total = ref(logits, soft, s_tokens, t_tokens, t_attns).squeeze()
+            with torch.no_grad():
+                mixed, _ = ref.layer_selector(
+                    {k: v.detach() for k, v in s_tokens.items()},
+                    t_tokens, t_attns, ref.token_layers,
+                )
+                weights.append(
+                    np.stack([
+                        self._recover_mixing_weights(
+                            mixed[layer].numpy(), stacked
+                        )
+                        for layer in ref.token_layers
+                    ])
+                )
+            losses.append(float(total.detach()))
+            temps.append(
+                ref.layer_selector.log_temperatures.detach().numpy().copy()
+            )
+            total.backward()
+            opt.step()
+        return dict(
+            losses=np.array(losses),
+            temps=np.stack(temps),
+            weights=np.stack(weights),
+        )
+
+    @pytest.fixture(scope="class")
+    def jax_trajectory(self, problem, reference_run):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from basd_tpu.losses import basd_loss
+        from basd_tpu.losses.selector import SelectorState
+
+        selector = SelectorState(
+            log_temperatures=jnp.asarray(reference_run["log_temps"]),
+            proj_s=jnp.asarray(reference_run["proj_s"]),
+            proj_t=jnp.asarray(reference_run["proj_t"]),
+        )
+        t_tokens = jnp.asarray(problem["teacher_tokens"])
+        importance = jnp.asarray(problem["importance"])
+        soft = jnp.asarray(problem["soft"])
+
+        def loss_fn(params):
+            sel = selector._replace(log_temperatures=params["temps"])
+            total, aux = basd_loss(
+                sel, params["logits"], soft, params["tokens"],
+                t_tokens, importance, label_smoothing=SMOOTHING,
+            )
+            return total, aux
+
+        opt = optax.adamw(
+            self.LR, b1=self.BETAS[0], b2=self.BETAS[1], eps=self.EPS,
+            weight_decay=self.WD,
+        )
+        params = {
+            "tokens": jnp.asarray(problem["student_tokens"]),
+            "logits": jnp.asarray(problem["logits"]),
+            "temps": selector.log_temperatures,
+        }
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, total, aux
+
+        losses, temps, weights = [], [], []
+        for _ in range(self.STEPS):
+            new_params, opt_state, total, aux = step(params, opt_state)
+            losses.append(float(total))
+            temps.append(np.asarray(params["temps"]))
+            weights.append(np.asarray(aux["mixing_weights"]))
+            params = new_params
+        return dict(
+            losses=np.array(losses),
+            temps=np.stack(temps),
+            weights=np.stack(weights),
+        )
+
+    def test_losses_co_evolve(self, torch_trajectory, jax_trajectory):
+        ref, ours = torch_trajectory["losses"], jax_trajectory["losses"]
+        rel = np.abs(ours - ref) / np.abs(ref)
+        assert rel.max() < 3e-2, f"worst per-step loss rel err {rel.max():.4f}"
+        # the optimization must actually be MOVING for this to mean much
+        assert ref[-1] < ref[0] - 1e-3
+
+    def test_temperatures_co_evolve(self, torch_trajectory, jax_trajectory):
+        np.testing.assert_allclose(
+            jax_trajectory["temps"], torch_trajectory["temps"], atol=5e-3
+        )
+        drift = np.abs(
+            torch_trajectory["temps"][-1] - torch_trajectory["temps"][0]
+        ).max()
+        assert drift > 1e-4  # temperatures actually moved
+
+    def test_mixing_weights_co_evolve(self, torch_trajectory, jax_trajectory):
+        np.testing.assert_allclose(
+            jax_trajectory["weights"], torch_trajectory["weights"], atol=5e-2
+        )

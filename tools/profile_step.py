@@ -111,7 +111,10 @@ def main():
     print(f"student init: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
-    raw = round(img_size / 0.8 / 4) * 4
+    # same raw-size formula as bench.py (eval_crop_ratio resolver: raw =
+    # img + 2*patch) so stage profiles attribute the SAME input pipeline
+    # the headline bench runs
+    raw = img_size + 2 * cfg.patch_size
     u8 = jnp.asarray((rng.random((batch, raw, raw, 3)) * 255).astype(np.uint8))
     labels = jnp.asarray(rng.integers(0, num_classes, batch, dtype=np.int32))
     key = jax.random.PRNGKey(0)
