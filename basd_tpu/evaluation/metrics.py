@@ -32,6 +32,7 @@ from basd_tpu.data.datasets import (
     get_subset_indices,
     load_split_arrays,
 )
+from basd_tpu.ops.attention import attention_mesh
 from basd_tpu.ops.preprocess import eval_view
 
 
@@ -134,6 +135,9 @@ def evaluate_model(
     carry = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
     total = 0
     n = len(labels)
+    # fused-attention island dispatch needs the ambient mesh at trace time
+    # when the eval step runs data-parallel (ops/attention.py)
+    mesh = getattr(sharding, "mesh", None)
     for lo, hi in _batches(n, batch_size):
         # pad the tail batch to the static batch size and mask the padding
         imgs = images_u8[lo:hi]
@@ -144,7 +148,8 @@ def evaluate_model(
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
             labs = np.concatenate([labs, np.zeros_like(labs[:pad])])
             mask[hi - lo :] = 0.0
-        carry = eval_step(carry, params, put(imgs), put(labs), put(mask))
+        with attention_mesh(mesh):
+            carry = eval_step(carry, params, put(imgs), put(labs), put(mask))
         total += hi - lo
 
     loss_sum, top1, top5 = (float(v) for v in carry)

@@ -25,6 +25,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from basd_tpu.ops.attention import (
+    attention_impl,
+    fused_attention_sharded,
+    use_fused,
+)
+
 
 @dataclass(frozen=True)
 class ViTConfig:
@@ -96,6 +102,17 @@ class Attention(nn.Module):
     has_cls_token: bool
     dtype: Any
 
+    @staticmethod
+    def _cls_importance(q, k, scale):
+        """CLS-row attention over patch keys, mean over heads (reference
+        relational.py:24), recomputed standalone in fp32 — one (B, H, N)
+        slice instead of keeping the full attention tensor alive."""
+        cls_logits = jnp.einsum(
+            "bhd,bmhd->bhm", q[:, 0], k,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return jax.nn.softmax(cls_logits, axis=-1)[:, :, 1:].mean(axis=1)
+
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         b, n, _ = x.shape
@@ -109,11 +126,29 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
 
         scale = head_dim**-0.5
+        q_scaled = (q.astype(jnp.float32) * scale).astype(self.dtype)
+
+        impl = attention_impl()
+        if use_fused(n, head_dim, self.has_cls_token):
+            # fused whole-sequence Pallas kernel (ops/attention.py): QK^T,
+            # fp32 softmax and AV in one VMEM-resident pass — the
+            # (B, H, N, N) tensor never exists in HBM, and the backward is
+            # a flash-style recompute custom VJP.
+            out = fused_attention_sharded(
+                q_scaled, k, v, interpret=(impl == "fused_interpret")
+            )
+            out = out.reshape(b, n, self.dim)
+            out = nn.Dense(
+                self.dim, dtype=self.dtype, kernel_init=fan_in_linear_init,
+                name="proj",
+            )(out)
+            importance = self._cls_importance(q, k, scale)
+            return out, importance
+
         # store logits in the compute dtype and upcast for the softmax
         # arithmetic: the fp32 (B, H, N, N) buffer dominated attention time
         # (measured 15 -> 5 ms/layer at N=257); identical numerics contract
         # to torch bf16 autocast (bf16 matmul output, fp32 softmax math).
-        q_scaled = (q.astype(jnp.float32) * scale).astype(self.dtype)
         logits = jnp.einsum(
             "bnhd,bmhd->bhnm", q_scaled, k, preferred_element_type=self.dtype
         )
@@ -133,17 +168,7 @@ class Attention(nn.Module):
         attn_unnorm = e.astype(self.dtype)
 
         if self.has_cls_token:
-            # CLS-row attention over patch keys, mean over heads (reference
-            # relational.py:24). The CLS row is recomputed standalone in
-            # fp32 — one (B, H, N) slice instead of keeping the full
-            # attention tensor alive for the capture.
-            cls_logits = jnp.einsum(
-                "bhd,bmhd->bhm", q[:, 0], k,
-                preferred_element_type=jnp.float32,
-            ) * scale
-            importance = jax.nn.softmax(cls_logits, axis=-1)[:, :, 1:].mean(
-                axis=1
-            )  # (B, N-1)
+            importance = self._cls_importance(q, k, scale)  # (B, N-1)
         else:
             # mean over heads and queries (reference relational.py:27) —
             # needs the normalized attention; materialize it on this rare

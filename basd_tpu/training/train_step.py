@@ -19,6 +19,7 @@ import optax
 from basd_tpu.losses import basd_loss
 from basd_tpu.losses.selector import SelectorState
 from basd_tpu.models.teacher import Teacher, extract_intermediates
+from basd_tpu.ops.attention import attention_mesh
 from basd_tpu.ops.mixup import mixup_cutmix
 from basd_tpu.ops.preprocess import dual_view
 from basd_tpu.spectral.ops import spectral_mesh
@@ -93,7 +94,10 @@ def make_train_step(
         images_u8: jax.Array,
         labels: jax.Array,
     ):
-        with spectral_mesh(mesh):
+        # both ambient-mesh contexts: spectral Pallas kernels run in a
+        # replicated island, the fused attention kernel in a
+        # (batch, heads)-sharded island (ops/attention.py).
+        with spectral_mesh(mesh), attention_mesh(mesh):
             return _step_body(state, teacher_variables, images_u8, labels)
 
     def _step_body(

@@ -71,7 +71,17 @@ def main():
     ap.add_argument("--student", default=None)
     ap.add_argument("--teacher", default="dinov2_vitb14")
     ap.add_argument("--n", type=int, default=None, help="timed calls per stage")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated stage-name substrings to run "
+                    "(e.g. 'teacher,student fwd+bwd')")
     args = ap.parse_args()
+
+    wanted = (
+        [s.strip() for s in args.only.split(",")] if args.only else None
+    )
+
+    def stage_on(name: str) -> bool:
+        return wanted is None or any(w in name for w in wanted)
 
     if args.imagenet:
         img_size, batch, num_classes = 224, 256, 1000
@@ -126,18 +136,21 @@ def main():
     )
 
     f_view = jax.jit(lambda u, k: dual_view(u, k, **kwargs))
-    print(f"dual_view:        {timeit(f_view, u8, key):7.3f} ms")
+    if stage_on("dual_view"):
+        print(f"dual_view:        {timeit(f_view, u8, key):7.3f} ms")
 
     clean, aug = f_view(u8, key)
     f_mix = jax.jit(
         lambda a, l, k: mixup_cutmix(a, l, k, num_classes=num_classes)
     )
-    print(f"mixup_cutmix:     {timeit(f_mix, aug, labels, key):7.3f} ms")
+    if stage_on("mixup_cutmix"):
+        print(f"mixup_cutmix:     {timeit(f_mix, aug, labels, key):7.3f} ms")
 
     f_teacher = jax.jit(
         lambda v, x: extract_intermediates(teacher._replace(variables=v), x)
     )
-    print(f"teacher forward:  {timeit(f_teacher, teacher.variables, clean):7.3f} ms")
+    if stage_on("teacher forward"):
+        print(f"teacher forward:  {timeit(f_teacher, teacher.variables, clean):7.3f} ms")
     t_tokens, t_imp = f_teacher(teacher.variables, clean)
 
     f_student = jax.jit(
@@ -145,7 +158,8 @@ def main():
             {"params": p}, x, train=True, rngs={"droppath": k}
         ).logits
     )
-    print(f"student fwd:      {timeit(f_student, params, aug, key):7.3f} ms")
+    if stage_on("student fwd:"):
+        print(f"student fwd:      {timeit(f_student, params, aug, key):7.3f} ms")
 
     def ce_only(p, x, l, k):
         out = student.apply({"params": p}, x, train=True, rngs={"droppath": k})
@@ -154,13 +168,15 @@ def main():
         )
 
     f_ce_grad = jax.jit(jax.grad(ce_only))
-    print(f"student fwd+bwd (CE): {timeit(f_ce_grad, params, aug, labels, key):7.3f} ms")
+    if stage_on("student fwd+bwd"):
+        print(f"student fwd+bwd (CE): {timeit(f_ce_grad, params, aug, labels, key):7.3f} ms")
 
-    f_select = jax.jit(
-        lambda sel, s_tok, t_tok, t_i: select_and_mix(sel, s_tok, t_tok, t_i)[0]
-    )
-    out = student.apply({"params": params}, aug, train=False)
-    print(f"selector fwd:     {timeit(f_select, selector, out.tokens, t_tokens, t_imp):7.3f} ms")
+    if stage_on("selector fwd"):
+        f_select = jax.jit(
+            lambda sel, s_tok, t_tok, t_i: select_and_mix(sel, s_tok, t_tok, t_i)[0]
+        )
+        out = student.apply({"params": params}, aug, train=False)
+        print(f"selector fwd:     {timeit(f_select, selector, out.tokens, t_tokens, t_imp):7.3f} ms")
 
     onehot = jax.nn.one_hot(labels, num_classes)
 
@@ -176,8 +192,9 @@ def main():
         )
         return loss
 
-    f_full_grad = jax.jit(jax.grad(full_loss, argnums=(0, 1)))
-    print(f"full loss fwd+bwd: {timeit(f_full_grad, params, selector.log_temperatures, aug, onehot, key):7.3f} ms")
+    if stage_on("full loss"):
+        f_full_grad = jax.jit(jax.grad(full_loss, argnums=(0, 1)))
+        print(f"full loss fwd+bwd: {timeit(f_full_grad, params, selector.log_temperatures, aug, onehot, key):7.3f} ms")
 
 
 if __name__ == "__main__":
