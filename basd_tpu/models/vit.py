@@ -114,36 +114,45 @@ class Attention(nn.Module):
         return jax.nn.softmax(cls_logits, axis=-1)[:, :, 1:].mean(axis=1)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> tuple[jax.Array, jax.Array]:
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
 
-        qkv = nn.Dense(
+        qkv_flat = nn.Dense(
             3 * self.dim, dtype=self.dtype, kernel_init=fan_in_linear_init,
             name="qkv",
-        )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        )(x)  # (B, N, 3D)
+        qkv = qkv_flat.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
 
         scale = head_dim**-0.5
-        q_scaled = (q.astype(jnp.float32) * scale).astype(self.dtype)
 
         impl = attention_impl()
-        if use_fused(n, head_dim, self.has_cls_token):
-            # fused whole-sequence Pallas kernel (ops/attention.py): QK^T,
-            # fp32 softmax and AV in one VMEM-resident pass — the
-            # (B, H, N, N) tensor never exists in HBM, and the backward is
-            # a flash-style recompute custom VJP.
+        if use_fused(n, self.dim, head_dim, self.has_cls_token,
+                     train=not deterministic):
+            # fused whole-sequence Pallas kernel (ops/attention.py) in the
+            # NATIVE (B, N, D) layout — QK^T, fp32 softmax and AV in one
+            # VMEM-resident pass per head; the (B, H, N, N) tensor never
+            # exists in HBM and no layout transposes exist anywhere
+            # (measured 1.81x over the einsum chain at the teacher shape).
+            q_flat = qkv_flat[:, :, : self.dim]
+            k_flat = qkv_flat[:, :, self.dim : 2 * self.dim]
+            v_flat = qkv_flat[:, :, 2 * self.dim :]
+            q_flat = (q_flat.astype(jnp.float32) * scale).astype(self.dtype)
             out = fused_attention_sharded(
-                q_scaled, k, v, interpret=(impl == "fused_interpret")
+                q_flat, k_flat, v_flat, head_dim,
+                interpret=(impl == "fused_interpret"),
             )
-            out = out.reshape(b, n, self.dim)
             out = nn.Dense(
                 self.dim, dtype=self.dtype, kernel_init=fan_in_linear_init,
                 name="proj",
             )(out)
             importance = self._cls_importance(q, k, scale)
             return out, importance
+
+        q_scaled = (q.astype(jnp.float32) * scale).astype(self.dtype)
 
         # store logits in the compute dtype and upcast for the softmax
         # arithmetic: the fp32 (B, H, N, N) buffer dominated attention time
@@ -233,7 +242,7 @@ class Block(nn.Module):
         y, importance = Attention(
             self.dim, self.num_heads, self.has_cls_token, self.dtype,
             name="attn",
-        )(y)
+        )(y, deterministic)
         y = self._layer_scale("ls1", y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 

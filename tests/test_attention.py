@@ -1,7 +1,7 @@
-"""Fused Pallas attention kernel (`ops/attention.py`) — interpreter-mode
-parity against a plain fp32 softmax(QK^T)V oracle, forward and backward,
-including the lane-aligned split-tail variant and the shard_map island
-dispatch under the 8-device CPU mesh."""
+"""Fused Pallas attention kernel (`ops/attention.py`, lane-sliced native-
+layout design) — interpreter-mode parity against a plain fp32
+softmax(QK^T)V oracle, forward and backward (XLA-chain VJP), plus the
+shard_map island dispatch under the 8-device CPU mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -9,27 +9,31 @@ import numpy as np
 import pytest
 
 from basd_tpu.ops.attention import (
-    _split_tail,
     attention_mesh,
     fused_attention,
     fused_attention_sharded,
     supports_fused,
     use_fused,
+    xla_attention_ref,
 )
 
 
-def oracle(q, k, v):
-    s = jnp.einsum(
-        "bnhd,bmhd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
-    )
+def oracle(q, k, v, head_dim):
+    b, n, d = q.shape
+    h = d // head_dim
+    qh = q.astype(jnp.float32).reshape(b, n, h, head_dim)
+    kh = k.astype(jnp.float32).reshape(b, n, h, head_dim)
+    vh = v.astype(jnp.float32).reshape(b, n, h, head_dim)
+    s = jnp.einsum("bnhd,bmhd->bhnm", qh, kh)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bhnm,bmhd->bnhd", p, vh)
+    return out.reshape(b, n, d)
 
 
-def _make(b, n, h, hd, seed=0, dtype=jnp.float32):
+def _make(b, n, d, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     mk = lambda: jnp.asarray(
-        rng.normal(size=(b, n, h, hd)).astype(np.float32), dtype
+        rng.normal(size=(b, n, d)).astype(np.float32), dtype
     )
     return mk(), mk(), mk()
 
@@ -38,73 +42,80 @@ class TestFusedAttention:
     @pytest.mark.parametrize(
         "shape",
         [
-            (2, 17, 2, 8),  # single-block, CLS-style odd N
-            (4, 32, 3, 16),  # single-block, aligned N
-            (2, 129, 2, 8),  # split-tail (N % 128 == 1)
+            (2, 17, 2, 8),  # CLS-style odd N, 2 heads
+            (4, 32, 3, 16),  # aligned N, odd head count
+            (2, 129, 2, 8),  # N % 128 == 1 (ViT grid + CLS)
+            (3, 9, 1, 16),  # odd batch -> per-element grid programs
         ],
     )
     def test_forward_matches_oracle(self, shape):
-        q, k, v = _make(*shape)
-        got = fused_attention(q, k, v, True)
-        want = oracle(q, k, v)
+        b, n, h, hd = shape
+        q, k, v = _make(b, n, h * hd)
+        got = fused_attention(q, k, v, hd, True)
+        want = oracle(q, k, v, hd)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=5e-6
         )
 
+    def test_xla_ref_matches_oracle(self):
+        q, k, v = _make(2, 17, 24, seed=5)
+        np.testing.assert_allclose(
+            np.asarray(xla_attention_ref(q, k, v, 8)),
+            np.asarray(oracle(q, k, v, 8)),
+            atol=5e-6,
+        )
+
     @pytest.mark.parametrize("shape", [(2, 17, 2, 8), (2, 129, 2, 8)])
     def test_gradients_match_oracle(self, shape):
-        q, k, v = _make(*shape, seed=1)
+        b, n, h, hd = shape
+        q, k, v = _make(b, n, h * hd, seed=1)
 
         def loss_fused(q, k, v):
-            return jnp.sum(jnp.sin(fused_attention(q, k, v, True)))
+            return jnp.sum(jnp.sin(fused_attention(q, k, v, hd, True)))
 
         def loss_oracle(q, k, v):
-            return jnp.sum(jnp.sin(oracle(q, k, v)))
+            return jnp.sum(jnp.sin(oracle(q, k, v, hd)))
 
         g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
         g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
-        for a, b, name in zip(g1, g2, "qkv"):
+        for a, b_, name in zip(g1, g2, "qkv"):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-5,
+                np.asarray(a), np.asarray(b_), atol=2e-5,
                 err_msg=f"d{name}",
             )
 
-    def test_split_tail_policy(self):
-        assert _split_tail(257)  # ViT-B/14 @ 224: 256 patches + CLS
-        assert _split_tail(129)
-        assert not _split_tail(197)  # ViT-S/16 @ 224
-        assert not _split_tail(65)
-        assert not _split_tail(1)
-
     def test_supports_fused_bounds(self):
-        assert supports_fused(257, 64)
-        assert supports_fused(512, 128)
-        assert not supports_fused(513, 64)
-        assert not supports_fused(257, 256)
+        assert supports_fused(257, 768, 64)
+        assert supports_fused(512, 2048, 128)
+        assert not supports_fused(513, 768, 64)  # N over cap
+        assert not supports_fused(257, 768, 256)  # head_dim over cap
+        assert not supports_fused(257, 768, 56)  # 768 % 56 != 0
+        assert not supports_fused(257, 4096, 64)  # width over cap
 
     def test_use_fused_dispatch(self, monkeypatch):
         monkeypatch.setenv("BASD_TPU_ATTENTION", "fused")
-        assert use_fused(257, 64, True)
-        assert not use_fused(257, 64, False)  # no-CLS needs full attn
+        assert use_fused(257, 768, 64, True, train=False)
+        assert use_fused(257, 768, 64, True, train=True)  # forced
+        assert not use_fused(257, 768, 64, False, train=False)  # no-CLS
         monkeypatch.setenv("BASD_TPU_ATTENTION", "xla")
-        assert not use_fused(257, 64, True)
+        assert not use_fused(257, 768, 64, True, train=False)
         monkeypatch.setenv("BASD_TPU_ATTENTION", "auto")
         # CPU test env: auto falls back to the XLA chain
-        assert not use_fused(257, 64, True)
+        assert not use_fused(257, 768, 64, True, train=False)
 
     def test_island_dispatch_under_mesh(self):
         """The ambient-mesh shard_map island must produce identical values
-        to the single-device call with batch sharded over 'data' and heads
-        over 'model'."""
+        to the single-device call with batch sharded over 'data' and head
+        lanes over 'model'."""
         from basd_tpu.parallel.mesh import create_mesh
 
         mesh = create_mesh(data=4, model=2)
-        q, k, v = _make(8, 17, 4, 8, seed=2)
-        want = fused_attention(q, k, v, True)
+        q, k, v = _make(8, 17, 4 * 8, seed=2)
+        want = fused_attention(q, k, v, 8, True)
 
         with attention_mesh(mesh):
             got = jax.jit(
-                lambda q, k, v: fused_attention_sharded(q, k, v, True)
+                lambda q, k, v: fused_attention_sharded(q, k, v, 8, True)
             )(q, k, v)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-6
@@ -145,8 +156,8 @@ class TestFusedAttention:
         )
 
     def test_model_level_fused_gradients(self, monkeypatch):
-        """Student-style fwd+bwd through the custom VJP must match the XLA
-        chain's gradients at the parameter level."""
+        """fwd+bwd through the custom VJP (XLA-chain recompute) must match
+        the XLA chain's gradients at the parameter level."""
         from basd_tpu.models.vit import VisionTransformer, ViTConfig
 
         cfg = ViTConfig(
@@ -184,3 +195,10 @@ class TestFusedAttention:
             np.testing.assert_allclose(
                 a, b, atol=tol, err_msg=jax.tree_util.keystr(kp)
             )
+
+    def test_train_mode_dispatch_stays_xla_under_auto(self, monkeypatch):
+        """'auto' must NOT route train-mode (differentiated) forwards to
+        the kernel — even on TPU the XLA fwd+bwd is faster than any
+        measured kernel backward at these sequence lengths."""
+        monkeypatch.setenv("BASD_TPU_ATTENTION", "auto")
+        assert not use_fused(257, 768, 64, True, train=True)

@@ -250,10 +250,14 @@ class TestBASDLoss:
             )
             return loss
 
-        loss = float(f(state, jnp.asarray(student), jnp.asarray(logits)))
+        # jit (the production path): eager op-by-op dispatch of the full
+        # loss graph costs ~30 s on the 1-core CPU mesh
+        loss = float(
+            jax.jit(f)(state, jnp.asarray(student), jnp.asarray(logits))
+        )
         assert np.isfinite(loss)
 
-        grads = jax.grad(f, argnums=(0, 1, 2))(
+        grads = jax.jit(jax.grad(f, argnums=(0, 1, 2)))(
             state, jnp.asarray(student), jnp.asarray(logits)
         )
         g_temp = np.asarray(grads[0].log_temperatures)
@@ -276,10 +280,13 @@ class TestBASDLoss:
         teacher = rng.normal(size=(l, b, n, d)).astype(np.float32)
         imp = np.ones((l, b, n), dtype=np.float32) / n
 
-        loss, aux = basd_loss(
+        loss, aux = jax.jit(
+            lambda st, lg, tg, su, te, im: basd_loss(
+                st, lg, tg, su, te, im, label_smoothing=0.0
+            )
+        )(
             state, jnp.asarray(logits), jnp.asarray(targets),
             jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(imp),
-            label_smoothing=0.0,
         )
         ce, geo = float(aux["ce_loss"]), float(aux["geo_loss"])
         w = np.asarray(aux["uw_so_weights"])

@@ -11,8 +11,21 @@ from basd_tpu.ops import (
     random_resized_crop,
     trivial_augment_wide,
 )
-from basd_tpu.ops.augment import resize_bilinear, _equalize, _autocontrast
+from basd_tpu.ops.augment import (
+    resize_bilinear,
+    _affine_warp,
+    _autocontrast,
+    _equalize,
+    _geometric_warp,
+)
 from basd_tpu.ops.preprocess import center_crop_resize, dual_view
+
+# jitted wrappers shared across tests: the eager op-by-op dispatch path on
+# the 1-core/8-virtual-device CPU mesh costs ~20 s per call for the big
+# augment graphs; one jit compile (persistently cached) amortizes it
+_ta_jit = jax.jit(trivial_augment_wide)
+_warp_jit = jax.jit(_geometric_warp)
+_affine_jit = jax.jit(_affine_warp)
 
 
 def _imgs(b=4, s=16, seed=0):
@@ -89,7 +102,7 @@ class TestRandomResizedCrop:
 class TestTrivialAugment:
     def test_shape_range_finite(self):
         x = _imgs(16, 16)
-        out = trivial_augment_wide(x, jax.random.PRNGKey(0))
+        out = _ta_jit(x, jax.random.PRNGKey(0))
         assert out.shape == x.shape
         o = np.asarray(out)
         assert np.all(np.isfinite(o))
@@ -101,7 +114,7 @@ class TestTrivialAugment:
         x = _imgs(1, 12, seed=3)
         hits = 0
         for seed in range(40):
-            out = trivial_augment_wide(x, jax.random.PRNGKey(seed))
+            out = _ta_jit(x, jax.random.PRNGKey(seed))
             if np.allclose(np.asarray(out), np.asarray(x), atol=1e-5):
                 hits += 1
         assert hits > 0  # P(miss all 40) = (13/14)^40 ~ 5%
@@ -188,42 +201,38 @@ class TestGeometricWarp:
         )
 
     def test_rotation_matches_affine_oracle(self):
-        from basd_tpu.ops.augment import _affine_warp, _geometric_warp
-
         x = self._smooth()
         for deg in (10.0, 30.0, 135.0, -45.0):
             ang = float(np.deg2rad(deg))
             angle = jnp.full((2,), ang, jnp.float32)
             zero = jnp.zeros((2,), jnp.float32)
             got = np.asarray(
-                _geometric_warp(x, angle, zero, zero, zero, zero)
+                _warp_jit(x, angle, zero, zero, zero, zero)
             )
             c, s = np.cos(ang), np.sin(ang)
             mats = jnp.asarray(
                 np.tile(np.asarray([[c, s, 0], [-s, c, 0]], np.float32),
                         (2, 1, 1))
             )
-            want = np.asarray(_affine_warp(x, mats))
+            want = np.asarray(_affine_jit(x, mats))
             diff = np.abs(got[:, 8:-8, 8:-8] - want[:, 8:-8, 8:-8])
             assert diff.max() < 0.02, (deg, diff.max())
 
     def test_quarter_turns_exact(self):
-        from basd_tpu.ops.augment import _geometric_warp
 
         x = _imgs(2, 16)
         angle = jnp.full((2,), float(np.pi / 2), jnp.float32)
         zero = jnp.zeros((2,), jnp.float32)
-        got = np.asarray(_geometric_warp(x, angle, zero, zero, zero, zero))
+        got = np.asarray(_warp_jit(x, angle, zero, zero, zero, zero))
         want = np.asarray(jnp.flip(jnp.swapaxes(x, 1, 2), axis=1))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_translation_exact(self):
-        from basd_tpu.ops.augment import _geometric_warp
 
         x = _imgs(2, 16)
         zero = jnp.zeros((2,), jnp.float32)
         tx = jnp.full((2,), 3.0, jnp.float32)
-        got = np.asarray(_geometric_warp(x, zero, zero, zero, tx, zero))
+        got = np.asarray(_warp_jit(x, zero, zero, zero, tx, zero))
         # out[x] samples in[x+3]: content moves left, right side zero-fills
         np.testing.assert_allclose(
             got[:, :, :13], np.asarray(x)[:, :, 3:], atol=1e-5
@@ -231,11 +240,10 @@ class TestGeometricWarp:
         np.testing.assert_allclose(got[:, :, 13:], 0.0, atol=1e-5)
 
     def test_identity_params_identity(self):
-        from basd_tpu.ops.augment import _geometric_warp
 
         x = _imgs(3, 16)
         zero = jnp.zeros((3,), jnp.float32)
-        got = np.asarray(_geometric_warp(x, zero, zero, zero, zero, zero))
+        got = np.asarray(_warp_jit(x, zero, zero, zero, zero, zero))
         np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
 
 

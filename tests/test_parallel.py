@@ -163,9 +163,13 @@ class TestDPTPEquivalence:
         return step(state_sh, tvars, imgs, labs)
 
     def test_dp8_matches_single(self):
+        # one build + one (single, dp8) compile pair asserts BOTH the
+        # metric equivalence and the updated-state equivalence (merged
+        # from a second seed-3 test: each extra pair costs ~25 s of
+        # trace+compile on the 1-core CPU mesh)
         built = _build(seed=1)
-        _, m_single = self._run(None, *built)
-        _, m_dp = self._run({"data": 8, "model": 1}, *built)
+        s_single, m_single = self._run(None, *built)
+        s_dp, m_dp = self._run({"data": 8, "model": 1}, *built)
         np.testing.assert_allclose(
             float(m_single["loss"]), float(m_dp["loss"]), rtol=2e-4
         )
@@ -173,6 +177,11 @@ class TestDPTPEquivalence:
             np.asarray(m_single["mixing_weights"]),
             np.asarray(m_dp["mixing_weights"]),
             atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_single.selector.log_temperatures),
+            np.asarray(s_dp.selector.log_temperatures),
+            atol=1e-5,
         )
 
     @pytest.mark.slow
@@ -232,10 +241,3 @@ class TestDPTPEquivalence:
             atol=2e-3,
         )
 
-    def test_dp_state_update_matches(self):
-        built = _build(seed=3)
-        s_single, _ = self._run(None, *built)
-        s_dp, _ = self._run({"data": 8, "model": 1}, *built)
-        a = np.asarray(s_single.selector.log_temperatures)
-        b = np.asarray(s_dp.selector.log_temperatures)
-        np.testing.assert_allclose(a, b, atol=1e-5)
