@@ -131,7 +131,7 @@ class TestTeacher:
     def test_load_and_extract(self):
         teacher = load_teacher("vit_mini_patch4", img_size=16, dtype=jnp.float32)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
-        tokens, imp = extract_intermediates(teacher, x)
+        tokens, imp = jax.jit(lambda x: extract_intermediates(teacher, x))(x)
         assert tokens.shape == (6, 2, 16, 96)  # (L, B, N, D)
         assert imp.shape == (6, 2, 16)
 
@@ -145,7 +145,7 @@ class TestTeacher:
     def test_cnn_teacher(self):
         teacher = load_teacher("resnet_micro", img_size=32, dtype=jnp.float32)
         x = jnp.ones((2, 32, 32, 3))
-        tokens, imp = extract_intermediates(teacher, x)
+        tokens, imp = jax.jit(lambda x: extract_intermediates(teacher, x))(x)
         assert tokens.shape[0] == 1
         assert imp.shape[:2] == (1, 2)
 

@@ -290,7 +290,7 @@ class TestTopkBasis:
             basis, svals = topk_basis(z[None], 4)
             return jnp.sum(svals) + jnp.sum(basis**2)
 
-        g = np.asarray(jax.grad(f)(jnp.asarray(z)))
+        g = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(z)))
         assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
 

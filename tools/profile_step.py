@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated stage-name substrings to run "
                     "(e.g. 'teacher,student fwd+bwd')")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable gradient checkpointing on the student "
+                    "(bench.py --imagenet runs remat OFF; the default here "
+                    "keeps the historical remat-on stage numbers comparable)")
     args = ap.parse_args()
 
     wanted = (
@@ -95,6 +99,8 @@ def main():
     batch = args.batch or batch
     student_name = args.student or student_name
     n = args.n or n
+    if args.no_remat:
+        remat = False
     global timeit
     _timeit = timeit
     timeit = lambda f, *a: _timeit(f, *a, n=n)
