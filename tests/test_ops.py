@@ -169,14 +169,15 @@ class TestDualView:
         u8 = (np.random.default_rng(0).random((4, 20, 20, 3)) * 255).astype(
             np.uint8
         )
-        clean, aug = dual_view(
-            jnp.asarray(u8),
-            jax.random.PRNGKey(0),
-            img_size=16,
-            crop_ratio=16 / 24,
-            teacher_stats=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
-            dataset_stats=((0.4, 0.4, 0.4), (0.2, 0.2, 0.2)),
-        )
+        clean, aug = jax.jit(
+            lambda u, k: dual_view(
+                u, k,
+                img_size=16,
+                crop_ratio=16 / 24,
+                teacher_stats=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+                dataset_stats=((0.4, 0.4, 0.4), (0.2, 0.2, 0.2)),
+            )
+        )(jnp.asarray(u8), jax.random.PRNGKey(0))
         assert clean.shape == (4, 16, 16, 3)
         assert aug.shape == (4, 16, 16, 3)
         # teacher-normalized clean view is in [-1, 1] for 0.5/0.5 stats

@@ -181,18 +181,18 @@ def main():
         tx = slope(f_xla, (q, k, v, do))
         print(f"{tag}: xla fwd+bwd(all) {tx*1e3:6.2f} ms", flush=True)
 
-        # numerics check in fp32 (interpret mode) before timing
+        # on-chip numerics vs the XLA chain at bf16 tolerance (the
+        # fp32 interpret-mode parity ran on CPU; interpret mode through
+        # the remote transport is one RTT per op — minutes)
         try:
             fb, fwd_only = build(b, n, d, hd, g=2)
-            qs, ks, vs, dos = (a[:4].astype(jnp.float32) for a in
-                               (q, k, v, do))
-            fbi, _ = build(4, n, d, hd, g=2, interpret=True,
-                           dtype=jnp.float32)
-            got = fbi(qs, ks, vs, dos)
-            want = jax.vjp(
-                partial(xla_attention_ref, head_dim=hd), qs, ks, vs
-            )[1](dos)
-            errs = [float(jnp.abs(a - b_).max()) for a, b_ in zip(got, want)]
+            got = fb(q, k, v, do)
+            want = f_xla(q, k, v, do)
+            errs = [
+                float(jnp.abs(a.astype(jnp.float32)
+                              - b_.astype(jnp.float32)).max())
+                for a, b_ in zip(got, want)
+            ]
             tf = slope(fb, (q, k, v, do))
             tfw = slope(fwd_only, (q, k, v))
             print(f"  kernel fwd-only {tfw*1e3:6.2f} ms | fwd+bwd "
