@@ -41,8 +41,9 @@ import jax.numpy as jnp
 
 from basd_tpu.spectral import (
     marchenko_pastur_rank,
+    marchenko_pastur_rank_gram,
     masked_principal_angle_distance,
-    topk_basis,
+    topk_basis_gram,
 )
 
 # Static cap on extracted subspace width. Full-width bases require one
@@ -174,13 +175,26 @@ def select_and_mix(
         precision=jax.lax.Precision.HIGH
     )  # (L, M_t, D_s)
 
-    ranks = marchenko_pastur_rank(z_t)  # (L,)
+    # ONE Gram reduction over the M = B*N samples serves both the MP
+    # ranks (uncentered cov = G/M) and the subspace extraction (centered
+    # Gram = G - M mu mu^T, a rank-1 correction) — the (M, D) Gram pass
+    # dominated both when computed twice (measured 7.3 + 21.3 ms at the
+    # Table-1 shape; tools/probe_selector_internals.py).
+    m_t = b * n_t
+    g_t = jnp.einsum(
+        "lmd,lme->lde", z_t, z_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )
+    mu_t = jnp.mean(z_t, axis=-2)  # (L, D_s)
+
+    ranks = marchenko_pastur_rank_gram(g_t, m_t)  # (L,)
     # cap at D_s - 1 (reference layer_selector.py:74) and at the static
     # subspace width; floor at 1 keeps the weighted distance defined when
     # MP finds no signal eigenvalue.
     ranks = jnp.clip(ranks, 1, k)
 
-    basis_t, svals_t = topk_basis(z_t, k)  # (L, D_s, K), (L, K)
+    g_ct = g_t - m_t * mu_t[:, :, None] * mu_t[:, None, :]
+    basis_t, svals_t = topk_basis_gram(g_ct, k)  # (L, D_s, K), (L, K)
 
     # ---- student subspaces (differentiable) ----
     s_flat = student_tokens.astype(jnp.float32).reshape(p, b * n_s, d_s)
@@ -188,7 +202,14 @@ def select_and_mix(
         "pmd,ed->pme", s_flat, proj_s, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGH
     )
-    basis_s, _ = topk_basis(z_s, k)  # (P, D_s, K)
+    m_s = b * n_s
+    g_s = jnp.einsum(
+        "pmd,pme->pde", z_s, z_s, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )
+    mu_s = jnp.mean(z_s, axis=-2)
+    g_cs = g_s - m_s * mu_s[:, :, None] * mu_s[:, None, :]
+    basis_s, _ = topk_basis_gram(g_cs, k)  # (P, D_s, K)
 
     # ---- spectrally-weighted principal angles, all (P, L) pairs at once ----
     d2 = masked_principal_angle_distance(

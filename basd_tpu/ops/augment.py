@@ -253,14 +253,25 @@ def _shift_axis(images: jax.Array, delta: jax.Array, axis: int,
     kmax = int(np.ceil(max_shift / stride))
     k = jnp.clip(jnp.round(delta / stride), -kmax, kmax)
     residual = delta - k * stride  # |residual| <= stride/2 (+clip slack)
+    fine = int(np.ceil(stride / 2.0)) + 1
+
+    # extend the coarse intermediate by the fine range so the fine pass
+    # reads true pixels (not the coarse result's zero pad) near the
+    # boundary — makes the two-level sweep bit-equal to a dense bilinear
+    # sweep. (The pre-fix version zero-filled a ~stride/2 band at the
+    # shifted edge.)
+    n = images.shape[axis]
+    pad = [(0, 0)] * images.ndim
+    pad[axis] = (fine, fine)
+    ext = jnp.pad(images, pad)
 
     coarse_taps = [stride * j for j in range(-kmax, kmax + 1)]
     out = _shift_axis_taps(
-        images, k * stride, axis, coarse_taps, nearest=True, stride=stride
+        ext, k * stride, axis, coarse_taps, nearest=True, stride=stride
     )
-    fine = int(np.ceil(stride / 2.0)) + 1
     fine_taps = list(range(-fine, fine + 1))
-    return _shift_axis_taps(out, residual, axis, fine_taps, nearest=False)
+    out = _shift_axis_taps(out, residual, axis, fine_taps, nearest=False)
+    return jax.lax.slice_in_dim(out, fine, fine + n, axis=axis)
 
 
 def _quarter_turn(images: jax.Array, k: jax.Array) -> jax.Array:
@@ -310,20 +321,24 @@ def _geometric_warp(
 
     lane = jnp.arange(h, dtype=jnp.float32) - cy  # (H,)
 
+    # pass bounds cover the full TrivialAugmentWide parameter space
+    # (|shear| <= 0.99 => |delta| <= 0.99*cy; the former 0.415*cy + 32
+    # budget silently zero-filled pixels for |shear_x| > ~0.71)
+    from basd_tpu.ops.warp_kernel import pass_bounds
+
+    b1, b2, b3 = pass_bounds(h)
+
     # pass 1: x shear (alpha) + x translation
     delta_x1 = alpha[:, None] * lane[None, :] + trans_x[:, None]  # (B, H)
-    max_x = int(np.ceil(0.415 * cy + 32.0)) + 1
-    out = _shift_axis(out, delta_x1, axis=2, max_shift=min(max_x, w))
+    out = _shift_axis(out, delta_x1, axis=2, max_shift=b1)
 
     # pass 2: y shear (beta) + y translation
     delta_y = beta[:, None] * lane[None, :] + trans_y[:, None]  # (B, W)
-    max_y = int(np.ceil(1.0 * cy + 32.0)) + 1
-    out = _shift_axis(out, delta_y, axis=1, max_shift=min(max_y, h))
+    out = _shift_axis(out, delta_y, axis=1, max_shift=b2)
 
     # pass 3: x shear (gamma)
     delta_x2 = gamma[:, None] * lane[None, :]  # (B, H)
-    max_x2 = int(np.ceil(0.415 * cy)) + 1
-    out = _shift_axis(out, delta_x2, axis=2, max_shift=min(max_x2, w))
+    out = _shift_axis(out, delta_x2, axis=2, max_shift=b3)
     return out
 
 
@@ -429,13 +444,19 @@ def _autocontrast(images: jax.Array) -> jax.Array:
     return jnp.clip((images - lo) * scale, 0.0, 1.0)
 
 
-def trivial_augment_wide(images: jax.Array, rng: jax.Array) -> jax.Array:
+def trivial_augment_wide(
+    images: jax.Array, rng: jax.Array, flip_mask: jax.Array | None = None
+) -> jax.Array:
     """TrivialAugmentWide (Mueller & Hutter 2021) as used by the reference
     train pipeline (`datasets.py:140`): ONE op per image, uniform over 14
     ops, uniform magnitude over 31 bins, random sign. torchvision
     `_AUGMENTATION_SPACE` wide ranges: shear 0.99, translate 32px,
     rotate 135 deg, color factors 0.99, posterize >= 2 bits, solarize
-    threshold full range."""
+    threshold full range.
+
+    `flip_mask` (optional (B,)/(B,1,1,1) bool): an HFlip applied BEFORE
+    the augment op — passed in (rather than pre-applied by the caller) so
+    the fused Pallas warp kernel can fold the flip into its first pass."""
     b = images.shape[0]
     k_op, k_mag, k_sign = jax.random.split(rng, 3)
     op = jax.random.randint(k_op, (b,), 0, _TA_NUM_OPS)
@@ -455,14 +476,43 @@ def trivial_augment_wide(images: jax.Array, rng: jax.Array) -> jax.Array:
     geo = is_op(_OP_SHEAR_X) | is_op(_OP_SHEAR_Y) | is_op(_OP_TRANSLATE_X) \
         | is_op(_OP_TRANSLATE_Y) | is_op(_OP_ROTATE)
     h, w = images.shape[1], images.shape[2]
-    if h == w:
+    from basd_tpu.ops import warp_kernel as _wk
+
+    if _wk.use_fused_warp(images):
+        # one VMEM-resident Pallas pass for hflip + quarter-turn + the
+        # three shears; identity parameters reproduce the input exactly,
+        # so non-geometric samples need no select
+        out = _wk.fused_geometric_warp(
+            images, angle, shear_x, shear_y, trans_x, trans_y, flip_mask,
+            interpret=_wk.warp_impl() == "fused_interpret",
+        )
+        flip_mask = None  # folded into the kernel's first pass
+    elif h == w:
         # gather-free shear-decomposition warp (identity when params are 0;
         # sign conventions are immaterial because magnitudes carry a random
-        # sign); non-square images fall back to the gather path
+        # sign); non-square images fall back to the gather path.
+        #
+        # hflip handling: warp(flip(x), p) == flip(warp(x, p~)) where p~
+        # negates the x-odd parameters (F R F = R(-psi), F Sx F = Sx(-a),
+        # F Sy F = Sy(-b), tx -> -tx). The conjugated form keeps the
+        # flip-select OUT of the warp's input: XLA:TPU miscompiles the
+        # tap-sweep when its producer is a reverse+select at large mixed
+        # batches (6/256 rotations wrong by ~0.9; CPU and isolated-TPU
+        # agree, batched-TPU diverges — tools/probe_warp_parity8.py), so
+        # the flip is applied to the OUTPUT below instead.
+        if flip_mask is not None:
+            neg = jnp.where(flip_mask.reshape(b), -1.0, 1.0)
+            angle, shear_x, shear_y, trans_x = (
+                angle * neg, shear_x * neg, shear_y * neg, trans_x * neg)
         warped = _geometric_warp(images, angle, shear_x, shear_y,
                                  trans_x, trans_y)
         out = jnp.where(geo[:, None, None, None], warped, images)
     else:
+        # same hflip conjugation as the square branch (see above)
+        if flip_mask is not None:
+            neg = jnp.where(flip_mask.reshape(b), -1.0, 1.0)
+            angle, shear_x, shear_y, trans_x = (
+                angle * neg, shear_x * neg, shear_y * neg, trans_x * neg)
         cos, sin = jnp.cos(angle), jnp.sin(angle)
         # forward op: rotate + shear + translate; build inverse map out->in.
         a11 = cos - sin * shear_y
@@ -481,6 +531,15 @@ def trivial_augment_wide(images: jax.Array, rng: jax.Array) -> jax.Array:
         )  # (B, 2, 3) acting on (y, x, 1)
         out = jnp.where(
             geo[:, None, None, None], _affine_warp(images, mats), images
+        )
+
+    if flip_mask is not None:
+        # output-side flip completing the conjugated-parameter hflip;
+        # exactly equivalent to flip-then-op for every TA op (geometric
+        # by conjugation, photometric/histogram ops by flip-commutation
+        # since their params are neutral on geometric samples)
+        out = jnp.where(
+            flip_mask.reshape(b, 1, 1, 1), out[:, :, ::-1, :], out
         )
 
     # ---- photometric ops with neutral defaults ----

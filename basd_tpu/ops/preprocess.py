@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.ops.augment import (
-    hflip,
     normalize,
     random_resized_crop,
     resize_bilinear,
@@ -71,7 +70,10 @@ def dual_view(
     k_rrc, k_flip, k_ta = jax.random.split(rng, 3)
     aug = random_resized_crop(x, k_rrc, img_size)
     aug = jnp.clip(aug, 0.0, 1.0)
-    aug = hflip(aug, k_flip)
-    aug = trivial_augment_wide(aug, k_ta)
+    # hflip folds into trivial_augment (the fused warp kernel applies it
+    # in its first pass; the XLA fallback applies it up front) — same
+    # semantics as hflip(aug) THEN trivial_augment_wide(aug)
+    flip = jax.random.bernoulli(k_flip, 0.5, (aug.shape[0],))
+    aug = trivial_augment_wide(aug, k_ta, flip_mask=flip)
     aug = normalize(aug, *dataset_stats)
     return clean, aug

@@ -1,6 +1,7 @@
 from basd_tpu.spectral.ops import (  # noqa: F401
     grassmann_basis,
     marchenko_pastur_rank,
+    marchenko_pastur_rank_gram,
     masked_principal_angle_distance,
     nuclear_norm,
     nuclear_norm_gram,
@@ -8,4 +9,5 @@ from basd_tpu.spectral.ops import (  # noqa: F401
     nuclear_norm_pair,
     svdvals_psd,
     topk_basis,
+    topk_basis_gram,
 )

@@ -210,9 +210,19 @@ def marchenko_pastur_rank(x: jax.Array) -> jax.Array:
     path always uses the D x D Gram — in the training hot loop M = B*N >> D;
     the numpy oracle also covers the M < D branch for host-side use.)
     """
-    m, d = x.shape[-2], x.shape[-1]
+    m = x.shape[-2]
     x = x.astype(_F32)
-    cov = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_DATA) / m
+    gram = jnp.einsum("...md,...me->...de", x, x, preferred_element_type=_F32, precision=_DATA)
+    return marchenko_pastur_rank_gram(gram, m)
+
+
+def marchenko_pastur_rank_gram(gram: jax.Array, m: int) -> jax.Array:
+    """`marchenko_pastur_rank` from a precomputed UNCENTERED Gram
+    X^T X (..., D, D) of M samples — lets the selector share one Gram
+    reduction between the MP ranks and the subspace extraction (the Gram
+    build over M = B*N samples dominates both)."""
+    d = gram.shape[-1]
+    cov = gram.astype(_F32) / m
     cov = (cov + jnp.swapaxes(cov, -1, -2)) * 0.5
     if d >= 8:
         # Householder tridiagonalization + Sturm bisection: the rank needs
@@ -564,7 +574,17 @@ def topk_basis(
     The deterministic start V0 is a fixed numpy Gaussian (same for every
     call) so results are reproducible and jit-constant-foldable.
     """
-    g = centered_gram(z)  # (..., D, D)
+    return topk_basis_gram(centered_gram(z), k, g_iters=g_iters,
+                           polar_iters=polar_iters)
+
+
+def topk_basis_gram(
+    g: jax.Array, k: int, *, g_iters: int = 6, polar_iters: int = 14
+) -> tuple[jax.Array, jax.Array]:
+    """`topk_basis` from a precomputed CENTERED Gram (..., D, D) —
+    the iteration core, exposed so callers that already hold a Gram
+    (e.g. the selector's shared teacher/student Gram reductions) skip the
+    (M, D) pass entirely."""
     d = g.shape[-1]
     v0 = np.asarray(
         np.random.default_rng(20_240_601).standard_normal((d, k)),

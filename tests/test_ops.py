@@ -260,3 +260,93 @@ class TestEqualizeLargePath:
             im = Image.fromarray((x[i] * 255).astype(np.uint8))
             want = np.asarray(ImageOps.equalize(im)).astype(np.float32) / 255.0
             np.testing.assert_allclose(out[i], want, atol=1e-6)
+
+
+class TestFusedWarpKernel:
+    """The Pallas geometric-warp kernel (ops/warp_kernel.py) against the
+    XLA tap-sweep path — interpret mode exercises the real kernel math on
+    the CPU mesh. Covers every geometric op at extreme magnitudes plus
+    the folded hflip and exact-identity passthrough."""
+
+    def _params(self, b):
+        rng = np.random.default_rng(7)
+        angle = np.zeros(b, np.float32)
+        shx = np.zeros(b, np.float32)
+        shy = np.zeros(b, np.float32)
+        tx = np.zeros(b, np.float32)
+        ty = np.zeros(b, np.float32)
+        angle[1] = np.deg2rad(30)
+        angle[2] = np.deg2rad(-135)
+        angle[3] = np.pi / 2  # exact quarter turn
+        shx[4] = 0.99  # beyond the round-2 tap budget (truncation fix)
+        shy[5] = -0.8
+        tx[6] = 3.7  # fractional: exercises the two-level fine pass
+        ty[7] = -12.0
+        flip = rng.random(b) < 0.5
+        return angle, shx, shy, tx, ty, flip
+
+    def test_matches_xla_path_with_flip(self):
+        from basd_tpu.ops.warp_kernel import fused_geometric_warp
+
+        b, n = 8, 32
+        x = _imgs(b, n, seed=11)
+        angle, shx, shy, tx, ty, flip = self._params(b)
+        A = jnp.asarray
+
+        def oracle(x):
+            xf = jnp.where(
+                A(flip)[:, None, None, None], x[:, :, ::-1, :], x
+            )
+            return _geometric_warp(xf, A(angle), A(shx), A(shy), A(tx), A(ty))
+
+        want = np.asarray(jax.jit(oracle)(x))
+        got = np.asarray(
+            jax.jit(
+                lambda x: fused_geometric_warp(
+                    x, A(angle), A(shx), A(shy), A(tx), A(ty), A(flip),
+                    interpret=True,
+                )
+            )(x)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_identity_params_bit_exact(self):
+        from basd_tpu.ops.warp_kernel import fused_geometric_warp
+
+        x = _imgs(2, 24, seed=3)
+        z = jnp.zeros((2,), jnp.float32)
+        got = np.asarray(
+            jax.jit(
+                lambda x: fused_geometric_warp(
+                    x, z, z, z, z, z, None, interpret=True
+                )
+            )(x)
+        )
+        np.testing.assert_array_equal(got, np.asarray(x))
+
+    def test_trivial_augment_dispatch_parity(self, monkeypatch):
+        # the full TA op through the fused kernel == through the XLA path
+        monkeypatch.setenv("BASD_TPU_WARP", "fused_interpret")
+        x = _imgs(6, 32, seed=5)
+        key = jax.random.PRNGKey(4)
+        flip = jax.random.bernoulli(jax.random.PRNGKey(9), 0.5, (6,))
+        got = np.asarray(trivial_augment_wide(x, key, flip_mask=flip))
+        monkeypatch.setenv("BASD_TPU_WARP", "xla")
+        want = np.asarray(trivial_augment_wide(x, key, flip_mask=flip))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_shear_beyond_old_budget_keeps_content(self):
+        # shear 0.99 on a large image: the pre-fix tap budget zero-filled
+        # pixels whose true source was in-bounds
+        s = 128
+        x = jnp.ones((1, s, s, 3), jnp.float32)
+        sh = jnp.full((1,), 0.99, jnp.float32)
+        z = jnp.zeros((1,), jnp.float32)
+        out = np.asarray(jax.jit(_geometric_warp)(x, z, sh, z, z, z))
+        # row r samples x + 0.99*(r - cy): in-bounds sources must stay 1
+        cy = (s - 1) / 2.0
+        for r in (0, 10, s - 1):
+            src = np.arange(s) + 0.99 * (r - cy)
+            inb = (src >= 0.5) & (src <= s - 1.5)
+            row = out[0, r, :, 0]
+            assert row[inb].min() > 0.99, (r, row[inb].min())
