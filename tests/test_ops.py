@@ -350,3 +350,30 @@ class TestFusedWarpKernel:
             inb = (src >= 0.5) & (src <= s - 1.5)
             row = out[0, r, :, 0]
             assert row[inb].min() > 0.99, (r, row[inb].min())
+
+
+class TestHflipConjugation:
+    """The production flip handling applies conjugated warp params and
+    reverses the OUTPUT (dodging an XLA:TPU miscompile of reverse+select
+    feeding the tap-sweep — docs/DESIGN.md section 7). These tests pin
+    its exact equivalence to the naive flip-first form on CPU, where the
+    naive form is correct — for both the square shear-decomposition
+    branch and the non-square gather branch."""
+
+    def _check(self, shape, seed):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.uniform(jax.random.PRNGKey(seed + 1),
+                               (8, shape[0], shape[1], 3))
+        flip = jax.random.bernoulli(jax.random.PRNGKey(seed + 2), 0.5, (8,))
+        pre = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        want = np.asarray(_ta_jit(pre, key))
+        got = np.asarray(jax.jit(
+            lambda x, k: trivial_augment_wide(x, k, flip_mask=flip)
+        )(x, key))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_square_branch(self):
+        self._check((32, 32), 0)
+
+    def test_nonsquare_gather_branch(self):
+        self._check((24, 40), 3)
