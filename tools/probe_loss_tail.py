@@ -53,7 +53,7 @@ def main():
     points = extraction_points(12, 4)
     student, cfg = create_student(
         "vit_small_patch16", num_classes=num_classes, img_size=img_size,
-        capture_layers=points, dtype=jnp.bfloat16,
+        drop_path_rate=0.05, capture_layers=points, dtype=jnp.bfloat16,
     )
     selector = init_selector(
         jax.random.PRNGKey(1), len(points), cfg.embed_dim,
@@ -62,7 +62,7 @@ def main():
     rng = np.random.default_rng(0)
     L = len(points)
     n_s = cfg.num_patches + 1
-    n_t = teacher.spec.num_tokens
+    n_t = teacher.spec.num_tokens(img_size)
     d_s, d_t = cfg.embed_dim, teacher.spec.embed_dim
     s_tok = jnp.asarray(rng.standard_normal((L, batch, n_s, d_s)),
                         jnp.bfloat16)
@@ -75,21 +75,26 @@ def main():
     onehot = jax.nn.one_hot(
         jnp.asarray(rng.integers(0, num_classes, batch)), num_classes)
 
-    f_sel = jax.jit(lambda sel, s, t, ti: select_and_mix(sel, s, t, ti)[0])
+    K = 192  # bench.py --imagenet calibrated subspace_k
+    f_sel = jax.jit(lambda sel, s, t, ti: select_and_mix(
+        sel, s, t, ti, subspace_k=K)[0])
     print(f"selector fwd:        {timeit(f_sel, selector, s_tok, t_tok, t_imp):7.2f} ms",
           flush=True)
 
-    def loss_fn(s, lt, lg):
+    # teacher tensors as ARGS, not closure constants — closed-over
+    # 400 MB constants blow the tunnel's remote_compile request limit
+    def loss_fn(s, lt, lg, tt, ti, oh):
         sel = selector._replace(log_temperatures=lt)
-        loss, _ = basd_loss(sel, lg, onehot, s, t_tok, t_imp,
-                            label_smoothing=0.01)
+        loss, _ = basd_loss(sel, lg, oh, s, tt, ti,
+                            label_smoothing=0.01, subspace_k=K)
         return loss
 
+    largs = (s_tok, selector.log_temperatures, logits, t_tok, t_imp, onehot)
     f_loss = jax.jit(loss_fn)
-    print(f"basd_loss fwd:       {timeit(f_loss, s_tok, selector.log_temperatures, logits):7.2f} ms",
+    print(f"basd_loss fwd:       {timeit(f_loss, *largs):7.2f} ms",
           flush=True)
     f_grad = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
-    print(f"basd_loss fwd+bwd:   {timeit(f_grad, s_tok, selector.log_temperatures, logits):7.2f} ms",
+    print(f"basd_loss fwd+bwd:   {timeit(f_grad, *largs):7.2f} ms",
           flush=True)
 
     # one optimizer update on the real student tree
