@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basd_tpu.models.vit import he_conv_init
+from basd_tpu.ops.activations import gelu as fast_gelu
 
 
 class CNNOutput(NamedTuple):
@@ -162,7 +163,9 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y, approximate=False)
+        # exact GELU in tanh form (ops/activations.py) — fp32-ulp match
+        # to erf-GELU at tanh speed
+        y = fast_gelu(y)
         if self.use_grn:
             # V2 MLP: fc1 -> gelu -> GRN -> fc2 (timm GlobalResponseNormMlp);
             # V2 drops the V1 layer scale entirely

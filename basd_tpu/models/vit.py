@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from basd_tpu.ops.activations import gelu as fast_gelu
 from basd_tpu.ops.attention import (
     attention_impl,
     fused_attention_sharded,
@@ -208,7 +209,10 @@ class Mlp(nn.Module):
             self.hidden, dtype=self.dtype, kernel_init=fan_in_linear_init,
             name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        # exact GELU in tanh form: XLA:TPU's erf costs ~2 ms per teacher
+        # MLP while tanh hides under the matmuls (ops/activations.py;
+        # reproduces erf-GELU to fp32 ulp, NOT the 'tanh approximation')
+        x = fast_gelu(x)
         return nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=fan_in_linear_init,
             name="fc2",
