@@ -23,7 +23,35 @@ import jax
 import jax.numpy as jnp
 
 from basd_tpu.losses.interpolate import align_vector
-from basd_tpu.spectral import nuclear_norm, nuclear_norm_gram, nuclear_norm_pair
+from basd_tpu.spectral import (
+    nuclear_norm,
+    nuclear_norm_gram,
+    nuclear_norm_pair_gram,
+)
+
+_NS_PREC = jax.lax.Precision.HIGH
+
+
+def _weighted_centered_gram(x: jax.Array, w: jax.Array) -> jax.Array:
+    """G_w = D (X_c X_c^T) D for X (B, N, D), weights w (B, N) summing to
+    1, D = diag(sqrt(w)) — via the RAW Gram plus (N, N)-sized algebra:
+
+        X_c X_c^T = G - a 1^T - 1 a^T + c 1 1^T,
+        a = G w,  c = w^T G w,  G = X X^T.
+
+    One bf16-in/fp32-accumulate MXU pass over X builds G; the centering
+    and weighting never touch a (N, D) fp32 tensor. (The former
+    feature-side form materialized fp32 centered+weighted copies of both
+    token stacks — ~2.4 GB of pure HBM traffic per step at the Table-1
+    shape, the dominant cost of the Procrustes stage.)"""
+    g = jnp.einsum("bnd,bmd->bnm", x, x,
+                   preferred_element_type=jnp.float32, precision=_NS_PREC)
+    a = jnp.einsum("bnm,bm->bn", g, w,
+                   preferred_element_type=jnp.float32, precision=_NS_PREC)
+    c = jnp.einsum("bn,bn->b", w, a, preferred_element_type=jnp.float32)
+    g_c = g - a[:, :, None] - a[:, None, :] + c[:, None, None]
+    ws = jnp.sqrt(w)
+    return g_c * ws[:, :, None] * ws[:, None, :]
 
 
 def procrustes_loss(
@@ -33,13 +61,27 @@ def procrustes_loss(
     *,
     use_newton_schulz: bool = True,
 ) -> jax.Array:
-    s = student_tokens.astype(jnp.float32)
-    t = teacher_tokens.astype(jnp.float32)
-    n_s = s.shape[1]
+    n_s = student_tokens.shape[1]
 
     w = align_vector(importance.astype(jnp.float32), n_s)  # (B, N_s)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
 
+    if use_newton_schulz and n_s <= min(
+        student_tokens.shape[-1], teacher_tokens.shape[-1]
+    ):
+        # token-side Gram form: weighting/centering as (N, N) algebra on
+        # the raw Grams, nuclear norm + polar subgradient from the
+        # scheduled square-root iteration — the (N, D) fp32
+        # centered/weighted features never exist
+        g_s = _weighted_centered_gram(student_tokens, w)
+        g_t = _weighted_centered_gram(teacher_tokens, w)
+        tr_s = jnp.trace(g_s, axis1=-2, axis2=-1)
+        tr_t = jnp.trace(g_t, axis1=-2, axis2=-1)
+        nuc = nuclear_norm_pair_gram(g_s, g_t)
+        return jnp.mean(tr_s + tr_t - 2.0 * nuc)
+
+    s = student_tokens.astype(jnp.float32)
+    t = teacher_tokens.astype(jnp.float32)
     mu_s = jnp.einsum("bn,bnd->bd", w, s)[:, None, :]
     mu_t = jnp.einsum("bn,bnd->bd", w, t)[:, None, :]
     s_c = s - mu_s
@@ -52,18 +94,13 @@ def procrustes_loss(
     tr_s = jnp.sum(s_w * s_w, axis=(1, 2))
     tr_t = jnp.sum(t_w * t_w, axis=(1, 2))
 
-    if use_newton_schulz and n_s <= min(s.shape[-1], t.shape[-1]):
-        # token-side Newton-Schulz: every matmul is (N x N), the cross-
-        # covariance is never materialized, gradient = polar subgradient
-        nuc = nuclear_norm_pair(s_w, t_w)
-    else:
-        cross = jnp.einsum(
-            "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (B, D_s, D_t)
-        nuc = (
-            nuclear_norm_gram(cross) if use_newton_schulz
-            else nuclear_norm(cross)  # eigh accuracy oracle
-        )
+    cross = jnp.einsum(
+        "bnd,bne->bde", s_w, t_w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, D_s, D_t)
+    nuc = (
+        nuclear_norm_gram(cross) if use_newton_schulz
+        else nuclear_norm(cross)  # eigh accuracy oracle
+    )
 
     return jnp.mean(tr_s + tr_t - 2.0 * nuc)

@@ -7,6 +7,7 @@ from basd_tpu.spectral.ops import (  # noqa: F401
     nuclear_norm_gram,
     nuclear_norm_ns,
     nuclear_norm_pair,
+    nuclear_norm_pair_gram,
     svdvals_psd,
     topk_basis,
     topk_basis_gram,

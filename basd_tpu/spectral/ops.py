@@ -53,6 +53,14 @@ _HI = jax.lax.Precision.HIGHEST
 # (eigh, Newton-Schulz, principal angles) stays HIGHEST: NS convergence
 # and eigh JVP stability genuinely need full fp32 there.
 _DATA = jax.lax.Precision.HIGH
+# Nuclear-norm square-root path (scheduled quintic + its Grams):
+# bf16x3. The old 18-step cubic NS diverged at HIGH (rounding
+# compounds through the coupled recurrence), but the 7-step minimax
+# schedule holds 8e-5 relative value error at HIGH vs 1.8e-6 at
+# HIGHEST and runs ~7x faster (tools/probe_ns_precision.py, b=64
+# decaying-spectrum cond-1e6 inputs vs float64 SVD) -- far below
+# the distillation loss's meaningful precision.
+_NS = jax.lax.Precision.HIGH
 
 # Ambient mesh for Pallas dispatch under multi-device programs. A Pallas
 # kernel inside a GSPMD-partitioned jit must live in a manual (shard_map)
@@ -423,7 +431,7 @@ def _ns_sqrt_pair(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     d = a.shape[-1]
     eye = jnp.eye(d, dtype=a.dtype)
     mm = lambda p, q: jnp.einsum("...ij,...jk->...ik", p, q,
-                                 preferred_element_type=_F32, precision=_HI)
+                                 preferred_element_type=_F32, precision=_NS)
     y, z = a, jnp.broadcast_to(eye, a.shape)
     for ca, cb, cc in _NS_SQRT_SCHED:
         m = mm(z, y)
@@ -466,13 +474,13 @@ def _nuc_gram_fwd(c):
     m, n = c.shape[-2], c.shape[-1]
     a_side = c if m <= n else jnp.swapaxes(c, -1, -2)
     cf = a_side.astype(_F32)
-    h = jnp.einsum("...ij,...kj->...ik", cf, cf, preferred_element_type=_F32, precision=_HI)
+    h = jnp.einsum("...ij,...kj->...ik", cf, cf, preferred_element_type=_F32, precision=_NS)
     s = _frob(h)
     y, z = _ns_sqrt_pair(h / s)
     value = jnp.sqrt(s[..., 0, 0]) * jnp.trace(y, axis1=-2, axis2=-1)
     # polar subgradient P = H^-1/2 C = (Z @ C) / sqrt(s)
     grad = jnp.einsum(
-        "...ij,...jk->...ik", z, cf, preferred_element_type=_F32, precision=_HI
+        "...ij,...jk->...ik", z, cf, preferred_element_type=_F32, precision=_NS
     ) / jnp.sqrt(s)
     if m > n:
         grad = jnp.swapaxes(grad, -1, -2)
@@ -489,6 +497,49 @@ nuclear_norm_gram.defvjp(_nuc_gram_fwd, _nuc_gram_bwd)
 # ---------------------------------------------------------------------------
 # Token-side pair nuclear norm: ||S^T T||_nuc on the smallest dimension
 # ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def nuclear_norm_pair_gram(g_s: jax.Array, g_t: jax.Array) -> jax.Array:
+    """tr((G_t G_s)^1/2) = ||S^T T||_nuc from the TOKEN-side Grams
+    G_s = S S^T, G_t = T T^T (..., N, N).
+
+    The Gram-space entrypoint lets callers that derive weighted/centered
+    Grams by (N, N)-sized algebra (diag scalings, rank-1 mean
+    corrections — see `losses.procrustes`) skip materializing the
+    weighted (N, D) feature tensors entirely. Custom VJP:
+
+        dL/dG_s = 1/2 G_t Z^T,   dL/dG_t = 1/2 Z^T G_s,  Z ~ W^-1/2,
+
+    which composes with the Gram-build einsum VJP to exactly the
+    feature-side polar subgradient (intertwining f(AB) A = A f(BA))."""
+    value, _ = _nuc_pg_fwd(g_s, g_t)
+    return value
+
+
+def _nuc_pg_fwd(g_s, g_t):
+    gs = g_s.astype(_F32)
+    gt = g_t.astype(_F32)
+    w = jnp.einsum("...nm,...mk->...nk", gt, gs,
+                   preferred_element_type=_F32, precision=_NS)
+    scale = _frob(w)
+    y, z = _ns_sqrt_pair(w / scale)
+    value = jnp.sqrt(scale[..., 0, 0]) * jnp.trace(y, axis1=-2, axis2=-1)
+    return value, (gs, gt, z / jnp.sqrt(scale))
+
+
+def _nuc_pg_bwd(res, g):
+    gs, gt, z = res
+    g = g[..., None, None]
+    zt = jnp.swapaxes(z, -1, -2)
+    dgs = 0.5 * g * jnp.einsum("...nm,...mk->...nk", gt, zt,
+                               preferred_element_type=_F32, precision=_NS)
+    dgt = 0.5 * g * jnp.einsum("...nm,...mk->...nk", zt, gs,
+                               preferred_element_type=_F32, precision=_NS)
+    return dgs.astype(res[0].dtype), dgt.astype(res[1].dtype)
+
+
+nuclear_norm_pair_gram.defvjp(_nuc_pg_fwd, _nuc_pg_bwd)
 
 
 @jax.custom_vjp
@@ -517,11 +568,11 @@ def _nuc_pair_fwd(s, t):
     sf = s.astype(_F32)
     tf = t.astype(_F32)
     g_t = jnp.einsum("...nd,...md->...nm", tf, tf,
-                     preferred_element_type=_F32, precision=_HI)
+                     preferred_element_type=_F32, precision=_NS)
     g_s = jnp.einsum("...nd,...md->...nm", sf, sf,
-                     preferred_element_type=_F32, precision=_HI)
+                     preferred_element_type=_F32, precision=_NS)
     w = jnp.einsum("...nm,...mk->...nk", g_t, g_s,
-                   preferred_element_type=_F32, precision=_HI)
+                   preferred_element_type=_F32, precision=_NS)
     scale = _frob(w)
     y, z = _ns_sqrt_pair(w / scale)
     value = jnp.sqrt(scale[..., 0, 0]) * jnp.trace(y, axis1=-2, axis2=-1)
@@ -534,11 +585,11 @@ def _nuc_pair_bwd(res, g):
     g = g[..., None, None]
     ds = g * jnp.einsum(
         "...nm,...km,...kd->...nd", g_t, z, sf,
-        preferred_element_type=_F32, precision=_HI,
+        preferred_element_type=_F32, precision=_NS,
     )  # G_T Z^T S
     dt = g * jnp.einsum(
         "...nm,...mk,...kd->...nd", g_s, z, tf,
-        preferred_element_type=_F32, precision=_HI,
+        preferred_element_type=_F32, precision=_NS,
     )  # G_S Z T
     return ds.astype(sf.dtype), dt.astype(tf.dtype)
 
