@@ -33,8 +33,9 @@ _NS_PREC = jax.lax.Precision.HIGH
 
 
 def _weighted_centered_gram(x: jax.Array, w: jax.Array) -> jax.Array:
-    """G_w = D (X_c X_c^T) D for X (B, N, D), weights w (B, N) summing to
-    1, D = diag(sqrt(w)) — via the RAW Gram plus (N, N)-sized algebra:
+    """(G_w, G_w + ridge) with G_w = D (X_c X_c^T) D for X (B, N, D),
+    weights w (B, N) summing to 1, D = diag(sqrt(w)) — via the RAW Gram
+    plus (N, N)-sized algebra:
 
         X_c X_c^T = G - a 1^T - 1 a^T + c 1 1^T,
         a = G w,  c = w^T G w,  G = X X^T.
@@ -51,7 +52,21 @@ def _weighted_centered_gram(x: jax.Array, w: jax.Array) -> jax.Array:
     c = jnp.einsum("bn,bn->b", w, a, preferred_element_type=jnp.float32)
     g_c = g - a[:, :, None] - a[:, None, :] + c[:, None, None]
     ws = jnp.sqrt(w)
-    return g_c * ws[:, :, None] * ws[:, None, :]
+    g_w = g_c * ws[:, :, None] * ws[:, None, :]
+    # Cancellation ridge: when the tokens are (near-)identical — e.g. a
+    # CNN teacher's single token interpolated to N_s copies — the exact
+    # centered Gram is 0, but the Gram-space subtraction leaves an
+    # INDEFINITE roundoff matrix at ~1e-6 of the uncentered magnitude;
+    # its negative eigenvalues explode through the square-root schedule
+    # (amplification ~ prod(a_k)^2). A diagonal shift at the rounding
+    # noise floor (the weighted uncentered trace sets the magnitude the
+    # cancellation started from) restores PSD up to far-sub-noise error.
+    # The ridge feeds ONLY the nuclear-norm operand; trace terms use the
+    # unridged Gram (see caller).
+    lam = 1e-6 * jnp.einsum(
+        "bn,bn->b", w, jnp.diagonal(g, axis1=-2, axis2=-1))
+    eye = jnp.eye(g.shape[-1], dtype=jnp.float32)
+    return g_w, g_w + lam[:, None, None] * eye
 
 
 def procrustes_loss(
@@ -73,11 +88,11 @@ def procrustes_loss(
         # the raw Grams, nuclear norm + polar subgradient from the
         # scheduled square-root iteration — the (N, D) fp32
         # centered/weighted features never exist
-        g_s = _weighted_centered_gram(student_tokens, w)
-        g_t = _weighted_centered_gram(teacher_tokens, w)
+        g_s, g_s_r = _weighted_centered_gram(student_tokens, w)
+        g_t, g_t_r = _weighted_centered_gram(teacher_tokens, w)
         tr_s = jnp.trace(g_s, axis1=-2, axis2=-1)
         tr_t = jnp.trace(g_t, axis1=-2, axis2=-1)
-        nuc = nuclear_norm_pair_gram(g_s, g_t)
+        nuc = nuclear_norm_pair_gram(g_s_r, g_t_r)
         return jnp.mean(tr_s + tr_t - 2.0 * nuc)
 
     s = student_tokens.astype(jnp.float32)

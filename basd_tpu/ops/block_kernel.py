@@ -237,7 +237,10 @@ def use_fused_block(n: int, d: int, head_dim: int, has_cls: bool,
         return False
     if impl in ("fused", "fused_interpret"):
         return True
-    if d % 128 != 0 or head_dim % 8 != 0 or n < 2:
+    # same static gate family as the standalone attention kernel
+    # (supports_fused): both BASD shapes qualify (D=192 h=3 and
+    # D=768 h=12, hd=64)
+    if d % head_dim != 0 or head_dim % 16 != 0 or n < 2:
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -145,7 +145,7 @@ def use_fused_mlp(d: int, train: bool) -> bool:
         return False
     if impl in ("fused", "fused_interpret"):
         return True
-    if d % 128 != 0:
+    if d % 8 != 0:
         return False
     try:
         return jax.default_backend() == "tpu"
