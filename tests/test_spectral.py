@@ -458,3 +458,86 @@ class TestTridiagSturm:
         got = np.asarray(jax.jit(lambda c: mp_rank_sturm(c, m))(cov))
         ref = np.asarray(marchenko_pastur_rank(jnp.asarray(x)))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestScheduledSqrt:
+    """Properties of the minimax quintic square-root schedule that the
+    nuclear-norm subgradient contract depends on (`_NS_SQRT_SCHED`)."""
+
+    def test_scalar_convergence_and_subgradient_bound(self):
+        from basd_tpu.spectral.ops import _NS_SQRT_SCHED
+
+        x = np.concatenate(
+            [np.geomspace(1e-12, 1.0, 200001), [0.0, 1.0]])
+        y, z = x.copy(), np.ones_like(x)
+        for a, b, c in _NS_SQRT_SCHED:
+            m = z * y
+            t = a + b * m + c * m * m
+            y, z = y * t, t * z
+        m = z * y
+        # subgradient validity: singular values sqrt(m) <= 1 (+eps)
+        assert m.max() <= 1.0 + 1e-5
+        assert y.min() >= 0.0
+        # convergence over the designed range [1e-6, 1]
+        sel = x >= 1e-6
+        rel = np.abs(y[sel] - np.sqrt(x[sel])) / np.sqrt(x[sel])
+        assert rel.max() < 1e-5
+        relz = np.abs(z[sel] * np.sqrt(x[sel]) - 1.0)
+        assert relz.max() < 1e-5
+
+    def test_frobenius_scale_bounds_spectrum(self):
+        # scaling contract: rho(W) <= ||W||_F for the PSD-product W
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            a = rng.normal(size=(12, 5)).astype(np.float64)
+            b = rng.normal(size=(12, 7)).astype(np.float64)
+            w = (b @ b.T) @ (a @ a.T)
+            rho = np.abs(np.linalg.eigvals(w)).max()
+            assert rho <= np.linalg.norm(w) + 1e-9
+
+
+class TestNuclearNormPairGram:
+    def test_matches_feature_form(self):
+        from basd_tpu.spectral import nuclear_norm_pair, nuclear_norm_pair_gram
+
+        rng = np.random.default_rng(50)
+        s = rng.normal(size=(4, 18, 24)).astype(np.float32)
+        t = rng.normal(size=(4, 18, 40)).astype(np.float32)
+        gs = jnp.einsum("bnd,bmd->bnm", s, s)
+        gt = jnp.einsum("bnd,bmd->bnm", t, t)
+        got = np.asarray(nuclear_norm_pair_gram(gs, gt))
+        want = np.asarray(nuclear_norm_pair(jnp.asarray(s), jnp.asarray(t)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_gradient_composes_to_polar(self):
+        # d||S^T T||_nuc/dS through the gram chain == T P^T (polar)
+        from basd_tpu.spectral import nuclear_norm_pair_gram
+
+        rng = np.random.default_rng(51)
+        s = rng.normal(size=(10, 14)).astype(np.float32)
+        t = rng.normal(size=(10, 20)).astype(np.float32)
+
+        def f(s_):
+            gs = jnp.einsum("nd,md->nm", s_, s_)[None]
+            gt = jnp.einsum("nd,md->nm", jnp.asarray(t), jnp.asarray(t))[None]
+            return jnp.sum(nuclear_norm_pair_gram(gs, gt))
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(s)))
+        u, _, vt = np.linalg.svd(s.T @ t, full_matrices=False)
+        p = u @ vt
+        np.testing.assert_allclose(g, t @ p.T, atol=5e-3)
+
+    def test_degenerate_zero_gram_finite(self):
+        # indefinite roundoff-scale grams must not blow up through the
+        # schedule once ridged (losses.procrustes ridge contract)
+        from basd_tpu.spectral import nuclear_norm_pair_gram
+
+        rng = np.random.default_rng(52)
+        noise = rng.normal(size=(2, 16, 16)).astype(np.float32) * 1e-7
+        noise = noise + np.swapaxes(noise, 1, 2)
+        ridge = 1e-6 * np.eye(16, dtype=np.float32)
+        gs = jnp.asarray(noise + ridge)
+        gt = jnp.asarray(np.swapaxes(noise, 1, 2) + ridge)
+        v = np.asarray(nuclear_norm_pair_gram(gs, gt))
+        assert np.all(np.isfinite(v))
+        assert np.all(np.abs(v) < 1e-3)
