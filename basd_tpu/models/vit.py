@@ -31,6 +31,11 @@ from basd_tpu.ops.block_kernel import (
     fused_vit_block_sharded,
     use_fused_block,
 )
+from basd_tpu.ops.block_train import (
+    fused_block_train_sharded,
+    train_block_impl,
+    use_fused_train_block,
+)
 from basd_tpu.ops.mlp_kernel import fused_mlp_sharded, mlp_impl, use_fused_mlp
 from basd_tpu.ops.attention import (
     attention_impl,
@@ -311,6 +316,28 @@ class Block(nn.Module):
         )
         return y * gamma.astype(self.dtype)
 
+    def _twin_params(self) -> dict:
+        """Declare the full Block param pytree via parameter twins (same
+        names/shapes/inits as the XLA modules) for the fused Pallas
+        dispatches."""
+        n1s, n1b = _LnParams(self.dim, name="norm1")()
+        attn_p = _AttnParams(self.dim, name="attn")()
+        n2s, n2b = _LnParams(self.dim, name="norm2")()
+        k1, b1, k2, b2 = _MlpParams(
+            self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+        params = {
+            "norm1": {"scale": n1s, "bias": n1b},
+            "attn": attn_p,
+            "norm2": {"scale": n2s, "bias": n2b},
+            "mlp": {"fc1": {"kernel": k1, "bias": b1},
+                    "fc2": {"kernel": k2, "bias": b2}},
+        }
+        if self.layer_scale_init is not None:
+            init = nn.initializers.constant(self.layer_scale_init)
+            params["ls1"] = self.param("ls1", init, (self.dim,))
+            params["ls2"] = self.param("ls2", init, (self.dim,))
+        return params
+
     @nn.compact
     def __call__(
         self, x: jax.Array, deterministic: bool
@@ -325,22 +352,7 @@ class Block(nn.Module):
             # byproduct. Parameter twins declare the identical
             # checkpoint pytree; DropPath is the identity on this
             # deterministic-only path.
-            n1s, n1b = _LnParams(self.dim, name="norm1")()
-            attn_p = _AttnParams(self.dim, name="attn")()
-            n2s, n2b = _LnParams(self.dim, name="norm2")()
-            k1, b1, k2, b2 = _MlpParams(
-                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
-            params = {
-                "norm1": {"scale": n1s, "bias": n1b},
-                "attn": attn_p,
-                "norm2": {"scale": n2s, "bias": n2b},
-                "mlp": {"fc1": {"kernel": k1, "bias": b1},
-                        "fc2": {"kernel": k2, "bias": b2}},
-            }
-            if self.layer_scale_init is not None:
-                init = nn.initializers.constant(self.layer_scale_init)
-                params["ls1"] = self.param("ls1", init, (self.dim,))
-                params["ls2"] = self.param("ls2", init, (self.dim,))
+            params = self._twin_params()
             out, cls_rows = fused_vit_block_sharded(
                 x, params, head_dim,
                 interpret=block_impl() == "fused_interpret",
@@ -348,6 +360,40 @@ class Block(nn.Module):
             # CLS-row softmax over patch keys, mean over heads
             # (reference relational.py:24)
             importance = cls_rows[:, 1:, :].mean(axis=-1)
+            return out, importance
+        if not deterministic and use_fused_train_block(
+            x.shape[1], self.dim, head_dim, self.has_cls_token,
+            self.layer_scale_init is not None,
+        ):
+            # the WHOLE block fused fwd+bwd (ops/block_train.py): the
+            # forward saves four bf16 residuals + softmax stats; the
+            # backward walks LN1->qkv->attention->proj->LN2->mlp in one
+            # VMEM pass per slab with fp32 weight-grad accumulation
+            # across the batch grid. DropPath masks are sampled here
+            # with the module's own rng stream (same per-sample
+            # bernoulli(keep) law as the DropPath modules; mask BITS
+            # differ from the XLA path's per-module folded keys —
+            # statistical, not bitwise, trajectory parity across
+            # dispatches). Importance is a stop-gradient byproduct (the
+            # BASD loss never differentiates student importance).
+            params = self._twin_params()
+            keep = 1.0 - self.drop_path
+            b = x.shape[0]
+            if self.drop_path > 0.0:
+                mask1 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, (b,)
+                ).astype(jnp.float32)
+                mask2 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, (b,)
+                ).astype(jnp.float32)
+            else:
+                mask1 = mask2 = jnp.ones((b,), jnp.float32)
+            out, cls_rows = fused_block_train_sharded(
+                x, params, mask1, mask2, head_dim, keep, keep,
+                interpret=train_block_impl() == "fused_interpret",
+            )
+            importance = jax.lax.stop_gradient(
+                cls_rows[:, 1:, :].mean(axis=-1))
             return out, importance
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y, importance = Attention(
