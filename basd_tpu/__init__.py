@@ -23,3 +23,18 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS=cpu request. Some images register an
+# accelerator PJRT plugin from sitecustomize with a platform-priority
+# config override ("axon,cpu"), which silently outranks the user's env
+# var; when the accelerator transport is unreachable, backend init then
+# hangs forever instead of falling back. An env var the user set
+# explicitly must win (tests/conftest.py does the same for pytest).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    if _jax.config.jax_platforms != "cpu":
+        _jax.config.update("jax_platforms", "cpu")
+del _os

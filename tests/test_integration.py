@@ -2,6 +2,7 @@
 resume, weights-only eval entrypoint, metrics.json schema parity."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -248,3 +249,26 @@ class TestStrictWeightLoad:
         params, epoch = m.load_weights(tmp_path / "w.npz", tree)
         assert epoch == 3
         np.testing.assert_array_equal(np.asarray(params["a"]["w"]), 7.0)
+
+
+@pytest.mark.slow
+class TestPlatformEnvHonored:
+    def test_explicit_cpu_env_wins_over_registered_plugin(self):
+        """`JAX_PLATFORMS=cpu <cli>` must actually select the CPU backend
+        even on images whose sitecustomize registers an accelerator PJRT
+        plugin with a platform-priority config override (basd_tpu/__init__
+        re-asserts the env var; without it, backend init can hang forever
+        on an unreachable accelerator transport)."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("JAX_PLATFORM_NAME", None)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import basd_tpu, jax; print(jax.config.jax_platforms)"],
+            env=env, capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert proc.stdout.strip().splitlines()[-1] == "cpu"
