@@ -27,6 +27,8 @@ from __future__ import annotations
 
 
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -575,7 +577,54 @@ def trivial_augment_wide(
     out = jnp.where(
         is_op(_OP_AUTOCONTRAST)[:, None, None, None], _autocontrast(out), out
     )
-    out = jnp.where(
-        is_op(_OP_EQUALIZE)[:, None, None, None], _equalize(out), out
-    )
+    out = _equalize_masked(out, is_op(_OP_EQUALIZE))
     return out
+
+
+def _equalize_capacity(b: int) -> int:
+    """Gather capacity for the masked-equalize fast path: mean + 8 sigma
+    of Binomial(b, 1/14), rounded up to a sublane multiple. P[overflow]
+    < 1e-13 at b=256 — and overflow is CORRECT anyway (lax.cond falls
+    back to the full-batch path)."""
+    if b <= 64:
+        return b
+    mean = b / 14.0
+    return int(min(b, 8 * math.ceil((mean + 8.0 * math.sqrt(mean)) / 8.0)))
+
+
+def _equalize_masked(
+    images: jax.Array, mask: jax.Array, capacity: int | None = None
+) -> jax.Array:
+    """`where(mask, _equalize(images), images)` without paying the
+    histogram machinery for unselected samples.
+
+    TrivialAugment picks equalize for ~1/14 of the batch, but the
+    full-batch formulation runs the radix one-hot matmuls (the dominant
+    HBM traffic of the photometric chain at 224 px — two (B*C, H*W, 16)
+    bf16 one-hots) over every sample. Fast path: pack the selected
+    samples into a `capacity`-row gather (static shape, ~mean+8sigma
+    rows), equalize the packed subset, scatter back with OOB-drop
+    padding rows. A lax.cond falls back to the full-batch path when the
+    selection count exceeds capacity, so the semantics are exactly
+    `where(mask, ...)` for EVERY mask — the fast path is just the branch
+    taken in practice. Same semantics target as torchvision equalize on
+    the op-selected samples (reference `src/data/datasets.py:140`)."""
+    b = images.shape[0]
+    capacity = _equalize_capacity(b) if capacity is None else capacity
+    full = lambda imgs: jnp.where(
+        mask[:, None, None, None], _equalize(imgs), imgs
+    )
+    if capacity >= b:
+        return full(images)
+
+    def packed(imgs):
+        # fill_value=b marks padding rows: clamp for the gather (any
+        # valid row; its equalize result is discarded), drop on scatter
+        (idx,) = jnp.nonzero(mask, size=capacity, fill_value=b)
+        subset = jnp.take(imgs, jnp.minimum(idx, b - 1), axis=0)
+        eq = _equalize(subset)
+        return imgs.at[idx].set(eq, mode="drop")
+
+    return jax.lax.cond(
+        jnp.sum(mask) <= capacity, packed, full, images
+    )

@@ -248,6 +248,77 @@ class TestGeometricWarp:
         np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
 
 
+class TestEqualizeMasked:
+    """Packed-subset equalize (`_equalize_masked`): exact `where(mask,
+    _equalize(x), x)` semantics on both lax.cond branches."""
+
+    def _x(self, b=10, n=24, seed=8):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray((rng.random((b, n, n, 3)) ** 2).astype(np.float32))
+
+    def test_packed_branch_matches_full(self):
+        from basd_tpu.ops.augment import _equalize_masked
+
+        x = self._x()
+        mask = jnp.asarray([1, 0, 0, 1, 0, 0, 0, 1, 0, 0], bool)
+        want = np.asarray(jnp.where(mask[:, None, None, None],
+                                    _equalize(x), x))
+        got = np.asarray(jax.jit(
+            lambda x: _equalize_masked(x, mask, capacity=4))(x))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_overflow_falls_back_to_full(self):
+        from basd_tpu.ops.augment import _equalize_masked
+
+        x = self._x(seed=9)
+        mask = jnp.asarray([1, 1, 1, 1, 1, 0, 1, 1, 0, 1], bool)
+        want = np.asarray(jnp.where(mask[:, None, None, None],
+                                    _equalize(x), x))
+        # count (8) > capacity (4): cond must take the full-batch branch
+        got = np.asarray(jax.jit(
+            lambda x: _equalize_masked(x, mask, capacity=4))(x))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_empty_and_all_masks(self):
+        from basd_tpu.ops.augment import _equalize_masked
+
+        x = self._x(b=6, seed=10)
+        for mask in (jnp.zeros(6, bool), jnp.ones(6, bool)):
+            want = np.asarray(jnp.where(mask[:, None, None, None],
+                                        _equalize(x), x))
+            got = np.asarray(_equalize_masked(x, mask, capacity=3))
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_capacity_policy(self):
+        from basd_tpu.ops.augment import _equalize_capacity
+
+        assert _equalize_capacity(16) == 16  # small batches: no packing
+        cap = _equalize_capacity(256)
+        assert cap % 8 == 0 and 256 / 14 < cap < 128
+
+    def test_packed_path_under_sharded_batch(self):
+        """The production case (b > 64) takes the packed branch; its
+        nonzero+gather+scatter must lower under GSPMD with the batch
+        sharded across the mesh (the augment pipeline runs inside the
+        global jitted step, not a shard_map island)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from basd_tpu.ops.augment import _equalize_masked
+        from basd_tpu.parallel.mesh import create_mesh
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray((rng.random((80, 16, 16, 3)) ** 2).astype(np.float32))
+        mask = jnp.asarray(rng.random(80) < 1 / 14.0)
+        want = np.asarray(jnp.where(mask[:, None, None, None],
+                                    _equalize(x), x))
+        mesh = create_mesh(data=8)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        got = np.asarray(jax.jit(
+            lambda x, m: _equalize_masked(x, m, capacity=16))(xs, ms))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestEqualizeLargePath:
     def test_radix16_matches_pil(self):
         from PIL import Image, ImageOps

@@ -76,6 +76,12 @@ def main():
     print(f"trivial_augment: "
           f"{slope(trivial_augment_wide, (x, key)):7.2f} ms", flush=True)
     print(f"  equalize     : {slope(_equalize, (x,)):7.2f} ms", flush=True)
+    from basd_tpu.ops.augment import _equalize_masked
+
+    mask = jnp.asarray(np.random.default_rng(1).random(b) < 1 / 14.0)
+    print(f"  eq masked    : "
+          f"{slope(lambda y: _equalize_masked(y, mask), (x,)):7.2f} ms",
+          flush=True)
     zero = jnp.zeros((b,), jnp.float32)
     print(f"  geo warp     : "
           f"{slope(_geometric_warp, (x, zero, zero, zero, zero, zero)):7.2f} ms",
