@@ -44,6 +44,7 @@ from basd_tpu.spectral import (
     marchenko_pastur_rank_gram,
     masked_principal_angle_distance,
     topk_basis_gram,
+    topk_basis_gram_nograd,
 )
 
 # Static cap on extracted subspace width. Full-width bases require one
@@ -194,7 +195,9 @@ def select_and_mix(
     ranks = jnp.clip(ranks, 1, k)
 
     g_ct = g_t - m_t * mu_t[:, :, None] * mu_t[:, None, :]
-    basis_t, svals_t = topk_basis_gram(g_ct, k)  # (L, D_s, K), (L, K)
+    # teacher statistics are stop-gradient'd (no_grad in the reference),
+    # so the fused forward-only subspace-iteration kernel applies
+    basis_t, svals_t = topk_basis_gram_nograd(g_ct, k)  # (L, D_s, K), (L, K)
 
     # ---- student subspaces (differentiable) ----
     s_flat = student_tokens.astype(jnp.float32).reshape(p, b * n_s, d_s)

@@ -647,6 +647,53 @@ def topk_basis(
                            polar_iters=polar_iters)
 
 
+def _use_subspace_kernel(shape: tuple[int, ...], k: int) -> bool:
+    """Dispatch policy for the fused forward-only subspace-iteration
+    kernel (`spectral.subspace_kernel`): the XLA unrolled iteration is
+    ~170 launch-latency-bound micro-matmuls (21 ms measured at Table-1
+    vs ~2 ms of MXU math). Env override BASD_TPU_SUBSPACE in
+    {auto, xla, fused, fused_interpret}."""
+    impl = os.environ.get("BASD_TPU_SUBSPACE", "auto")
+    if impl == "xla" or os.environ.get("BASD_TPU_DISABLE_PALLAS"):
+        return False
+    if len(shape) != 3 or shape[-1] > 1024 or k < 2:
+        return False
+    if impl in ("fused", "fused_interpret"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def topk_basis_gram_nograd(
+    g: jax.Array, k: int, *, g_iters: int = 6, polar_iters: int = 14
+) -> tuple[jax.Array, jax.Array]:
+    """`topk_basis_gram` for GRADIENT-FREE callers (teacher statistics):
+    on TPU the whole subspace iteration runs as one VMEM-resident Pallas
+    launch instead of ~170 latency-bound micro-matmuls; only the final
+    (k, k) Rayleigh-Ritz eigh + basis rotation stay outside. The kernel
+    defines no VJP — differentiated callers must use `topk_basis_gram`."""
+    if _use_subspace_kernel(g.shape, k):
+        from basd_tpu.spectral.subspace_kernel import subspace_iterate
+
+        impl = os.environ.get("BASD_TPU_SUBSPACE", "auto")
+        iterate = _replicated_island(
+            partial(
+                subspace_iterate, k=k, g_iters=g_iters,
+                polar_iters=polar_iters,
+                interpret=impl == "fused_interpret" or _pallas_interpret(),
+            )
+        )
+        v, r = iterate(g)
+        eigvals, u = _eigh_desc(r)
+        basis = jnp.einsum("...dk,...kl->...dl", v, u,
+                           preferred_element_type=_F32, precision=_HI)
+        svals = jnp.sqrt(jnp.clip(eigvals, 0.0, None))
+        return basis, svals
+    return topk_basis_gram(g, k, g_iters=g_iters, polar_iters=polar_iters)
+
+
 def topk_basis_gram(
     g: jax.Array, k: int, *, g_iters: int = 6, polar_iters: int = 14
 ) -> tuple[jax.Array, jax.Array]:

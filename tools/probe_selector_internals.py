@@ -100,6 +100,20 @@ def main():
     print(f"topk_s  : {slope(partial(topk_basis, k=k), (z_s,)):7.2f} ms",
           flush=True)
 
+    # fused forward-only subspace-iteration kernel vs the XLA chain
+    from basd_tpu.spectral import topk_basis_gram_nograd
+    from basd_tpu.spectral.ops import centered_gram
+
+    g_t = jax.jit(centered_gram)(z_t)
+    print(f"topk_t fused (kernel): "
+          f"{slope(partial(topk_basis_gram_nograd, k=k), (g_t,)):7.2f} ms",
+          flush=True)
+    bk, sk = jax.jit(partial(topk_basis_gram_nograd, k=k))(g_t)
+    bx, sx = jax.jit(partial(topk_basis, k=k))(z_t)
+    print("  sval relerr:",
+          float(jnp.max(jnp.abs(sk - sx) / (jnp.max(sx) + 1e-30))),
+          flush=True)
+
     basis_t, svals_t = jax.jit(partial(topk_basis, k=k))(z_t)
     basis_s, _ = jax.jit(partial(topk_basis, k=k))(z_s)
     ranks = jnp.clip(jax.jit(marchenko_pastur_rank)(z_t), 1, k)
