@@ -73,11 +73,17 @@ def basd_loss(
 
     aligned = align_token_count(mixed_tokens, n_s)  # (P, B, N_s, D_t)
 
-    # batched over extraction points; mean matches the reference's
-    # stack(...).mean() over per-point losses (combined.py:69-76)
-    geo = jnp.mean(
-        jax.vmap(procrustes_loss)(student_tokens, aligned, mixed_importance)
-    )
+    # unrolled over the (static, small) extraction points; the mean
+    # matches the reference's stack(...).mean() over per-point losses
+    # (combined.py:69-76). A static loop instead of vmap keeps the
+    # per-point calls plain 3-D (B, N, N) — the shape the fused
+    # Newton-Schulz Pallas path dispatches on (vmap over a shard_map
+    # island is the one composition the kernel stack avoids).
+    p = student_tokens.shape[0]
+    geo = jnp.mean(jnp.stack([
+        procrustes_loss(student_tokens[i], aligned[i], mixed_importance[i])
+        for i in range(p)
+    ]))
 
     losses = jnp.stack([ce, geo])
     w = uw_so_weights(losses)

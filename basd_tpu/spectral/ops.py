@@ -104,6 +104,40 @@ def _replicated_island(fn):
     )
 
 
+def _batch_island(fn):
+    """Wrap `fn` in a BATCH-sharded shard_map island when tracing under a
+    multi-device mesh — for Pallas kernels over per-sample (B, ...) data
+    (the token-side Gram pairs are data-sharded, unlike the replicated
+    selector spectra)."""
+    mesh = _SPECTRAL_MESH.get()
+    if mesh is None or mesh.size <= 1:
+        return fn
+    data = "data" if "data" in mesh.axis_names and mesh.shape["data"] > 1 \
+        else None
+    spec = _P(data, None, None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec), out_specs=(_P(data), spec),
+        check_vma=False,
+    )
+
+
+def _use_ns_pair_kernel(shape: tuple[int, ...]) -> bool:
+    """Dispatch policy for the fused Newton-Schulz pair-sqrt kernel
+    (`spectral.ns_sqrt_kernel`): plain 3-D (B, N, N) batches on TPU.
+    Env override BASD_TPU_NSPG in {auto, xla, fused, fused_interpret}."""
+    impl = os.environ.get("BASD_TPU_NSPG", "auto")
+    if impl == "xla" or os.environ.get("BASD_TPU_DISABLE_PALLAS"):
+        return False
+    if len(shape) != 3 or shape[-1] > 512:
+        return False
+    if impl in ("fused", "fused_interpret"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     """Dispatch policy for the batched Jacobi eigensolver: XLA's TPU eigh
     serializes over the batch (~1.1 ms per 192x192 matrix measured), while
@@ -520,6 +554,22 @@ def nuclear_norm_pair_gram(g_s: jax.Array, g_t: jax.Array) -> jax.Array:
 def _nuc_pg_fwd(g_s, g_t):
     gs = g_s.astype(_F32)
     gt = g_t.astype(_F32)
+    if _use_ns_pair_kernel(gs.shape):
+        # fused path: W build + the whole scheduled (Y, Z) iteration stay
+        # VMEM-resident per batch slab (one kernel launch; ~29 fewer
+        # (B, N, N) HBM round-trips). Emits exactly this function's
+        # (value, z_scaled) contract.
+        from basd_tpu.spectral.ns_sqrt_kernel import ns_sqrt_pair_fused
+
+        impl = os.environ.get("BASD_TPU_NSPG", "auto")
+        fused = _batch_island(
+            partial(
+                ns_sqrt_pair_fused, sched=_NS_SQRT_SCHED,
+                interpret=impl == "fused_interpret" or _pallas_interpret(),
+            )
+        )
+        value, z_scaled = fused(gs, gt)
+        return value, (gs, gt, z_scaled)
     w = jnp.einsum("...nm,...mk->...nk", gt, gs,
                    preferred_element_type=_F32, precision=_NS)
     scale = _frob(w)

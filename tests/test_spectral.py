@@ -384,6 +384,84 @@ class TestSubspaceKernel:
         )
 
 
+class TestNsSqrtPairKernel:
+    """Fused Newton-Schulz pair-sqrt kernel (`spectral.ns_sqrt_kernel`)
+    vs the XLA scheduled iteration, values AND gradients (the kernel
+    emits the VJP residual Z)."""
+
+    def _gram_pair(self, b=6, n=12, d=16, seed=40):
+        rng = np.random.default_rng(seed)
+        s = rng.normal(size=(b, n, d)).astype(np.float32)
+        t = (0.4 * s + 0.6 * rng.normal(size=(b, n, d))).astype(np.float32)
+        gs = jnp.asarray(np.einsum("bnd,bmd->bnm", s, s))
+        gt = jnp.asarray(np.einsum("bnd,bmd->bnm", t, t))
+        return gs, gt
+
+    def test_value_and_grad_match_xla(self, monkeypatch):
+        from basd_tpu.spectral import nuclear_norm_pair_gram
+
+        gs, gt = self._gram_pair()
+
+        def loss(gs, gt):
+            return jnp.sum(nuclear_norm_pair_gram(gs, gt) * 1.3)
+
+        monkeypatch.setenv("BASD_TPU_NSPG", "fused_interpret")
+        vf, gf = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(gs, gt)
+        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
+        vx, gx = jax.value_and_grad(loss, argnums=(0, 1))(gs, gt)
+        np.testing.assert_allclose(float(vf), float(vx), rtol=1e-4)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=1e-3 * float(jnp.abs(b).max()),
+            )
+
+    def test_procrustes_through_kernel(self, monkeypatch):
+        from basd_tpu.losses.procrustes import procrustes_loss
+
+        rng = np.random.default_rng(41)
+        s = jnp.asarray(rng.normal(size=(4, 9, 16)).astype(np.float32))
+        t = jnp.asarray(rng.normal(size=(4, 9, 24)).astype(np.float32))
+        w = jnp.asarray(rng.random((4, 9)).astype(np.float32))
+
+        monkeypatch.setenv("BASD_TPU_NSPG", "fused_interpret")
+        lf, gf = jax.value_and_grad(
+            lambda s: procrustes_loss(s, t, w))(s)
+        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
+        lx, gx = jax.value_and_grad(
+            lambda s: procrustes_loss(s, t, w))(s)
+        np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx),
+            atol=1e-3 * float(jnp.abs(gx).max()),
+        )
+
+    def test_batch_island_under_mesh(self, monkeypatch):
+        from basd_tpu.parallel.mesh import create_mesh
+        from basd_tpu.spectral import nuclear_norm_pair_gram
+        from basd_tpu.spectral.ops import spectral_mesh
+
+        gs, gt = self._gram_pair(b=8, seed=42)
+        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
+        want = np.asarray(nuclear_norm_pair_gram(gs, gt))
+        monkeypatch.setenv("BASD_TPU_NSPG", "fused_interpret")
+        with spectral_mesh(create_mesh(data=8)):
+            got = np.asarray(jax.jit(nuclear_norm_pair_gram)(gs, gt))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_dispatch_gates(self, monkeypatch):
+        from basd_tpu.spectral.ops import _use_ns_pair_kernel
+
+        monkeypatch.setenv("BASD_TPU_NSPG", "fused")
+        assert _use_ns_pair_kernel((256, 197, 197))
+        assert not _use_ns_pair_kernel((4, 256, 197, 197))  # vmapped rank
+        assert not _use_ns_pair_kernel((8, 600, 600))  # beyond VMEM plan
+        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
+        assert not _use_ns_pair_kernel((256, 197, 197))
+        monkeypatch.setenv("BASD_TPU_NSPG", "auto")
+        assert not _use_ns_pair_kernel((256, 197, 197))  # CPU: XLA
+
+
 class TestNuclearNormPair:
     def test_matches_svd(self):
         from basd_tpu.spectral import nuclear_norm_pair
