@@ -147,6 +147,8 @@ def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     island (`_replicated_island`) instead of being disabled."""
     if os.environ.get("BASD_TPU_DISABLE_PALLAS"):
         return False
+    if os.environ.get("BASD_TPU_JACOBI") == "xla":  # per-kernel escape hatch
+        return False
     try:
         if jax.default_backend() == "cpu" and not _pallas_interpret():
             return False

@@ -1,0 +1,188 @@
+"""Self-healing Pallas dispatch: tiny-shape Mosaic smoke-compiles.
+
+Every fused kernel in the framework ships with an XLA fallback behind an
+env-var policy (`BASD_TPU_ATTENTION`, `BASD_TPU_BLOCK`, ...). Mosaic
+availability is a property of the live backend/toolchain that cannot be
+proven from a CPU test environment, so long-running entrypoints (bench,
+the driver's entry compile check) call `validate_kernel_dispatches()`
+once up front: each kernel is compiled and executed at a tiny real
+shape; any failure flips THAT kernel's policy to `xla` for the process
+and is reported — one miscompiling kernel degrades performance instead
+of killing the run. Compile results land in the persistent XLA cache,
+so repeat validations are ~free.
+
+`tools/smoke_kernels.py` is the standalone CLI over the same checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _attention(interpret):
+    from basd_tpu.ops.attention import fused_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((4, 33, 64)), jnp.bfloat16)
+    return jax.jit(
+        lambda q: fused_attention(q, q, q, 32, interpret=interpret)
+    )(q)
+
+
+def _attention_bwd(interpret):
+    from basd_tpu.ops.attention import fused_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((4, 33, 64)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        o = fused_attention(q, k, v, 32, interpret)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, q, q)
+
+
+def _block_fwd(interpret):
+    from basd_tpu.ops.block_kernel import fused_vit_block
+    from basd_tpu.models.vit import Block
+
+    rng = np.random.default_rng(0)
+    blk = Block(64, 2, 4.0, 0.0, True, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)) * 0.5, jnp.bfloat16)
+    params = blk.init(jax.random.PRNGKey(0), x, True)["params"]
+    return jax.jit(
+        lambda x: fused_vit_block(x, params, 32, interpret=interpret)
+    )(x)
+
+
+def _block_train(interpret):
+    from basd_tpu.ops.block_train import fused_block_train
+    from basd_tpu.models.vit import Block
+
+    rng = np.random.default_rng(0)
+    blk = Block(64, 2, 4.0, 0.0, True, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)) * 0.5, jnp.bfloat16)
+    params = blk.init(jax.random.PRNGKey(0), x, True)["params"]
+    ones = jnp.ones((4,), jnp.float32)
+
+    def loss(p, x):
+        out, _ = fused_block_train(x, p, ones, ones, 32, 1.0, 1.0, interpret)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(params, x)
+
+
+def _mlp(interpret):
+    from basd_tpu.ops.mlp_kernel import fused_mlp_block
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((64, 256)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((256, 64)) * 0.05, jnp.float32)
+    one = jnp.ones((64,), jnp.float32)
+    zero = jnp.zeros((64,), jnp.float32)
+    return jax.jit(
+        lambda x: fused_mlp_block(
+            x, one, zero, w1, jnp.zeros((256,), jnp.float32), w2, zero,
+            None, interpret=interpret,
+        )
+    )(x)
+
+
+def _warp(interpret):
+    from basd_tpu.ops.warp_kernel import fused_geometric_warp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    a = jnp.asarray([0.0, 0.3, -0.8, 1.6], jnp.float32)
+    z = jnp.zeros((4,), jnp.float32)
+    return jax.jit(
+        lambda x: fused_geometric_warp(
+            x, a, z, z, z, z, None, interpret=interpret)
+    )(x)
+
+
+def _jacobi(interpret):
+    from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigh
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((6, 32, 32)).astype(np.float32)
+    a = jnp.asarray(a @ a.transpose(0, 2, 1))
+    return jax.jit(
+        lambda a: pallas_jacobi_eigh(a, sweeps=4, interpret=interpret)
+    )(a)
+
+
+def _subspace(interpret):
+    from basd_tpu.spectral.subspace_kernel import subspace_iterate
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 48, 48)).astype(np.float32)
+    g = jnp.asarray(a @ a.transpose(0, 2, 1))
+    return jax.jit(lambda g: subspace_iterate(g, k=8, interpret=interpret))(g)
+
+
+def _ns_pair(interpret):
+    from basd_tpu.spectral.ns_sqrt_kernel import ns_sqrt_pair_fused
+    from basd_tpu.spectral.ops import _NS_SQRT_SCHED
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 24, 16)).astype(np.float32)
+    g = jnp.asarray(a @ a.transpose(0, 2, 1))
+    return jax.jit(
+        lambda g: ns_sqrt_pair_fused(g, g, _NS_SQRT_SCHED,
+                                     interpret=interpret)
+    )(g)
+
+
+# (name, policy env var flipped to "xla" on failure, check fn)
+KERNEL_CHECKS = (
+    ("attention", "BASD_TPU_ATTENTION", _attention),
+    ("attention_bwd", "BASD_TPU_ATTENTION", _attention_bwd),
+    ("block_fwd", "BASD_TPU_BLOCK", _block_fwd),
+    ("block_train", "BASD_TPU_TRAIN_BLOCK", _block_train),
+    ("mlp", "BASD_TPU_MLP", _mlp),
+    ("warp", "BASD_TPU_WARP", _warp),
+    ("jacobi", "BASD_TPU_JACOBI", _jacobi),
+    ("subspace", "BASD_TPU_SUBSPACE", _subspace),
+    ("ns_pair", "BASD_TPU_NSPG", _ns_pair),
+)
+
+
+def validate_kernel_dispatches(
+    *, interpret: bool = False, verbose: bool = True
+) -> dict:
+    """Smoke-compile every Pallas kernel; flip failures to their XLA
+    fallback via the policy env var. Returns {name: error string} for
+    failures (empty dict = all good). No-op on non-TPU backends unless
+    `interpret` (auto dispatch already falls back there)."""
+    if not interpret:
+        try:
+            if jax.default_backend() != "tpu":
+                return {}
+        except RuntimeError:  # pragma: no cover
+            return {}
+    failures: dict[str, str] = {}
+    for name, env, fn in KERNEL_CHECKS:
+        if os.environ.get(env) == "xla":
+            continue  # already forced off (possibly by an earlier failure)
+        try:
+            out = fn(interpret)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(jax.device_get(leaf.ravel()[0]))
+            if verbose:
+                print(f"kernel_smoke {name} ok", flush=True)
+        except Exception as e:  # noqa: BLE001 — any failure means: use XLA
+            failures[name] = f"{type(e).__name__}: {e}"
+            os.environ[env] = "xla"
+            if verbose:
+                print(
+                    f"kernel_smoke {name} FAILED -> {env}=xla "
+                    f"({type(e).__name__})",
+                    flush=True,
+                )
+    return failures

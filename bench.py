@@ -69,6 +69,16 @@ def main() -> None:
         # `model.vit.remat` still enables it for models that need it)
         remat, n1, n2 = False, 10, 110
 
+    # self-healing Pallas dispatch: tiny-shape Mosaic smoke of every
+    # kernel; a kernel that fails to compile on THIS backend is flipped
+    # to its XLA fallback (env policy) instead of killing the bench
+    from basd_tpu.utils.kernel_smoke import validate_kernel_dispatches
+
+    smoke_failures = validate_kernel_dispatches(verbose=False)
+    for _name, _err in smoke_failures.items():
+        print(f"kernel_smoke {_name} FAILED -> xla fallback: {_err}",
+              flush=True)
+
     teacher = load_teacher("dinov2_vitb14", img_size=img_size,
                            dtype=jnp.bfloat16)
     points = extraction_points(12, 4)
@@ -209,6 +219,10 @@ def main() -> None:
                     "mfu_vs_bf16_peak": (
                         round(mfu, 4) if mfu is not None else None
                     ),
+                    # kernels that failed the Mosaic smoke-compile and ran
+                    # on their XLA fallback for this measurement (normally
+                    # empty — non-empty means the number is degraded)
+                    "kernel_fallbacks": sorted(smoke_failures),
                 },
             }
         )

@@ -272,3 +272,27 @@ class TestPlatformEnvHonored:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert proc.stdout.strip().splitlines()[-1] == "cpu"
+
+
+@pytest.mark.slow
+class TestKernelSmoke:
+    def test_all_kernels_validate_in_interpret(self):
+        from basd_tpu.utils.kernel_smoke import validate_kernel_dispatches
+
+        assert validate_kernel_dispatches(interpret=True, verbose=False) == {}
+
+    def test_failure_flips_policy_env(self, monkeypatch):
+        import basd_tpu.utils.kernel_smoke as ks
+
+        def boom(interpret):
+            raise RuntimeError("mosaic says no")
+
+        monkeypatch.setattr(
+            ks, "KERNEL_CHECKS", (("fake", "BASD_TPU_FAKE", boom),)
+        )
+        monkeypatch.delenv("BASD_TPU_FAKE", raising=False)
+        failures = ks.validate_kernel_dispatches(
+            interpret=True, verbose=False)
+        assert "fake" in failures
+        assert os.environ["BASD_TPU_FAKE"] == "xla"
+        monkeypatch.delenv("BASD_TPU_FAKE", raising=False)
