@@ -34,11 +34,13 @@ its own ranks/subspaces from the local batch (SURVEY.md section 5.8).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from basd_tpu.spectral.ops import _eigh_desc
 from basd_tpu.spectral import (
     marchenko_pastur_rank,
     marchenko_pastur_rank_gram,
@@ -212,7 +214,19 @@ def select_and_mix(
     )
     mu_s = jnp.mean(z_s, axis=-2)
     g_cs = g_s - m_s * mu_s[:, :, None] * mu_s[:, None, :]
-    basis_s, _ = topk_basis_gram(g_cs, k)  # (P, D_s, K)
+    if os.environ.get("BASD_TPU_STUDENT_BASIS", "iter") == "eigh":
+        # full-width eigendecomposition path: ONE differentiable batched
+        # eigh (Pallas Jacobi forward + the regularized-gap JVP of
+        # `spectral.ops._eigh_safe`) instead of autodiffing through the
+        # ~170-launch subspace-iteration chain. The top-K eigenvectors
+        # are the iteration's converged limit, so forward numerics agree
+        # on the signal subspace; the backward is a handful of matmuls
+        # instead of the chain's reverse sweep. Opt-in until the
+        # hardware A/B (tools/probe_selector_internals.py) decides.
+        _, u_s = _eigh_desc(g_cs)  # (P, D_s, D_s) descending
+        basis_s = u_s[..., :k]
+    else:
+        basis_s, _ = topk_basis_gram(g_cs, k)  # (P, D_s, K)
 
     # ---- spectrally-weighted principal angles, all (P, L) pairs at once ----
     d2 = masked_principal_angle_distance(

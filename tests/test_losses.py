@@ -179,6 +179,28 @@ class TestSelector:
         np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
         assert (w >= 0).all()
 
+    def test_student_basis_eigh_path_matches_iteration(self, monkeypatch):
+        """BASD_TPU_STUDENT_BASIS=eigh (full-width differentiable eigh)
+        must produce the same mixing weights and finite student-token
+        gradients as the default subspace-iteration path."""
+        state, student, teacher, imp = self._setup(seed=11)
+        st, tt, ti = map(jnp.asarray, (student, teacher, imp))
+
+        def weights_and_grad(env):
+            monkeypatch.setenv("BASD_TPU_STUDENT_BASIS", env)
+
+            def f(st):
+                _, _, aux = select_and_mix(state, st, tt, ti)
+                return jnp.sum(aux["grassmann_d2"]), aux["mixing_weights"]
+
+            (d2, w), g = jax.value_and_grad(f, has_aux=True)(st)
+            return np.asarray(w), np.asarray(g)
+
+        w_e, g_e = weights_and_grad("eigh")
+        w_i, g_i = weights_and_grad("iter")
+        np.testing.assert_allclose(w_e, w_i, atol=2e-2)
+        assert np.all(np.isfinite(g_e)) and np.abs(g_e).max() > 0
+
     def test_matches_numpy_oracle(self):
         state, student, teacher, imp = self._setup(seed=7)
         _, _, aux = select_and_mix(

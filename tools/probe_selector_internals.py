@@ -114,6 +114,35 @@ def main():
           float(jnp.max(jnp.abs(sk - sx) / (jnp.max(sx) + 1e-30))),
           flush=True)
 
+    # student-basis alternatives: differentiated iteration vs full eigh
+    # (BASD_TPU_STUDENT_BASIS) — fwd AND fwd+bwd, since the eigh path's
+    # payoff is the backward (a few matmuls vs the chain's reverse sweep)
+    from basd_tpu.spectral.ops import _eigh_desc
+
+    g_s = jax.jit(centered_gram)(z_s)
+
+    def iter_fb(g):
+        def f(g):
+            basis, _ = topk_basis_gram(g, k)
+            return jnp.sum(basis ** 2)
+        return jax.grad(f)(g)
+
+    def eigh_fb(g):
+        def f(g):
+            _, u = _eigh_desc(g)
+            return jnp.sum(u[..., :k] ** 2)
+        return jax.grad(f)(g)
+
+    from basd_tpu.spectral import topk_basis_gram
+    print(f"topk_s iter fwd : "
+          f"{slope(partial(topk_basis_gram, k=k), (g_s,)):7.2f} ms",
+          flush=True)
+    print(f"topk_s iter f+b : {slope(iter_fb, (g_s,)):7.2f} ms", flush=True)
+    print(f"topk_s eigh fwd : "
+          f"{slope(lambda g: _eigh_desc(g)[1][..., :k], (g_s,)):7.2f} ms",
+          flush=True)
+    print(f"topk_s eigh f+b : {slope(eigh_fb, (g_s,)):7.2f} ms", flush=True)
+
     basis_t, svals_t = jax.jit(partial(topk_basis, k=k))(z_t)
     basis_s, _ = jax.jit(partial(topk_basis, k=k))(z_s)
     ranks = jnp.clip(jax.jit(marchenko_pastur_rank)(z_t), 1, k)
