@@ -43,6 +43,15 @@ class Trainer:
         self.teacher = teacher
         self.mesh = mesh
 
+        # self-healing Pallas dispatch (no-op off-TPU): a kernel that
+        # fails to Mosaic-compile on this backend falls back to XLA via
+        # its policy env instead of failing the jitted step compile
+        from basd_tpu.utils.kernel_smoke import validate_kernel_dispatches
+
+        for name, err in validate_kernel_dispatches(verbose=False).items():
+            print(f"kernel_smoke {name} FAILED -> xla fallback: {err}",
+                  flush=True)
+
         points = extraction_points(
             student_cfg.depth, config.basd.num_extraction_points
         )
