@@ -246,6 +246,15 @@ def select_and_mix(
         teacher_tokens.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+    if os.environ.get("BASD_TPU_MIX_DTYPE", "f32") == "bf16":
+        # store the mixed teacher tokens in the teacher's compute dtype:
+        # fp32-accumulated mix rounded once to bf16 — the same contract
+        # as the reference's autocast matmul (its mixed tokens are bf16
+        # until relational.py's .float() islands). Halves the HBM
+        # footprint of the (P, B, N_t, D_t) mix and the downstream
+        # token-count align at Table-1 (~1.4 GB of traffic). Opt-in
+        # until the hardware A/B + slow parity suite pin the default.
+        mixed_tokens = mixed_tokens.astype(teacher_tokens.dtype)
     mixed_importance = jnp.einsum(
         "pl,lbn->pbn",
         weights,

@@ -201,6 +201,32 @@ class TestSelector:
         np.testing.assert_allclose(w_e, w_i, atol=2e-2)
         assert np.all(np.isfinite(g_e)) and np.abs(g_e).max() > 0
 
+    def test_bf16_mix_dtype_close_to_f32(self, monkeypatch):
+        """BASD_TPU_MIX_DTYPE=bf16 (production teacher dtype) must stay
+        within bf16 rounding of the fp32 mix — loss-level tolerance on
+        REAL bf16 teacher tokens (the parity suites run fp32 teachers,
+        where the cast is a no-op)."""
+        from basd_tpu.losses import basd_loss
+
+        state, student, teacher, imp = self._setup(seed=13)
+        st = jnp.asarray(student)
+        tt = jnp.asarray(teacher).astype(jnp.bfloat16)
+        ti = jnp.asarray(imp)
+        logits = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 10)).astype(np.float32))
+        targets = jax.nn.one_hot(jnp.asarray([1, 3]), 10)
+
+        def run(env):
+            monkeypatch.setenv("BASD_TPU_MIX_DTYPE", env)
+            total, aux = basd_loss(
+                state, logits, targets, st, tt, ti, label_smoothing=0.1)
+            return float(total), float(aux["geo_loss"])
+
+        t_b, g_b = run("bf16")
+        t_f, g_f = run("f32")
+        assert abs(t_b - t_f) < 2e-2 * abs(t_f)
+        assert abs(g_b - g_f) < 2e-2 * max(abs(g_f), 1e-3)
+
     def test_matches_numpy_oracle(self):
         state, student, teacher, imp = self._setup(seed=7)
         _, _, aux = select_and_mix(
