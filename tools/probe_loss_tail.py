@@ -97,6 +97,21 @@ def main():
     print(f"basd_loss fwd+bwd:   {timeit(f_grad, *largs):7.2f} ms",
           flush=True)
 
+    # env-gated A/Bs (trace-time policies; fresh jits per setting)
+    import os
+
+    for env, vals in (
+        ("BASD_TPU_MIX_DTYPE", ("f32", "bf16")),
+        ("BASD_TPU_STUDENT_BASIS", ("iter", "eigh")),
+        ("BASD_TPU_NSPG", ("auto", "xla")),
+    ):
+        for val in vals:
+            os.environ[env] = val
+            fg = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+            print(f"  f+b {env}={val}: {timeit(fg, *largs):7.2f} ms",
+                  flush=True)
+        os.environ.pop(env, None)
+
     # one optimizer update on the real student tree
     import optax
 
