@@ -18,7 +18,10 @@ from basd_tpu.ops.block_train import (
     use_fused_train_block,
 )
 
-D, HEADS, N, B = 128, 2, 17, 4
+# smallest shapes that still exercise multi-head lane slicing (HD % 16
+# == 0), a CLS token, odd N, and per-sample droppath masks — interpret-
+# mode kernel cost scales with size, and this file runs 11 kernels
+D, HEADS, N, B = 64, 2, 9, 4
 HD = D // HEADS
 
 
