@@ -241,3 +241,66 @@ class TestDPTPEquivalence:
             atol=2e-3,
         )
 
+    @pytest.mark.slow
+    def test_dp8_all_kernels_fused_matches_xla(self, monkeypatch):
+        """The full production-intent kernel composition in ONE train
+        step under the 8-device mesh: every Pallas kernel forced to
+        fused_interpret SIMULTANEOUSLY (attention, whole-block train,
+        warp, subspace iteration, NS pair sqrt, Jacobi) plus the
+        eigh student-basis and bf16 mixed-token policies. Loss must
+        match the all-XLA step — the composition (islands nesting,
+        custom-VJP boundaries, GSPMD interplay) is what single-kernel
+        tests cannot see."""
+        for env, val in (
+            ("BASD_TPU_PALLAS_INTERPRET", "1"),
+            ("BASD_TPU_ATTENTION", "fused_interpret"),
+            ("BASD_TPU_TRAIN_BLOCK", "fused_interpret"),
+            ("BASD_TPU_WARP", "fused_interpret"),
+            ("BASD_TPU_SUBSPACE", "fused_interpret"),
+            ("BASD_TPU_NSPG", "fused_interpret"),
+            ("BASD_TPU_STUDENT_BASIS", "eigh"),
+        ):
+            monkeypatch.setenv(env, val)
+        teacher, state, _, images, labels = _build(seed=6)
+        points = extraction_points(4, 2)
+        student, cfg = create_student(
+            "vit_micro_patch4", num_classes=10, drop_path_rate=0.0,
+            img_size=16, capture_layers=points, dtype=jnp.float32,
+            remat=False,
+        )
+        mesh = create_mesh(data=8, model=1)
+        _, init_fn, step_fn = make_train_step(
+            student, teacher,
+            learning_rate=1e-3, weight_decay=0.01, warmup_steps=5,
+            label_smoothing=0.1, img_size=16, crop_ratio=16 / 24,
+            teacher_stats=((0.5,) * 3, (0.5,) * 3),
+            dataset_stats=((0.5,) * 3, (0.25,) * 3),
+            num_classes=10, mesh=mesh,
+        )
+        selector = init_selector(
+            jax.random.PRNGKey(6), len(points), cfg.embed_dim,
+            teacher.spec.embed_dim,
+        )
+        state = init_fn(jax.random.PRNGKey(6), selector)
+
+        state_sh = jax.device_put(state, state_sharding(mesh, state))
+        tvars = jax.device_put(teacher.variables, replicated(mesh))
+        imgs = jax.device_put(images, batch_sharding(mesh))
+        labs = jax.device_put(labels, batch_sharding(mesh))
+        _, m_fused = jax.jit(step_fn)(state_sh, tvars, imgs, labs)
+        loss_fused = float(m_fused["loss"])
+
+        for env in (
+            "BASD_TPU_PALLAS_INTERPRET", "BASD_TPU_ATTENTION",
+            "BASD_TPU_TRAIN_BLOCK", "BASD_TPU_WARP", "BASD_TPU_SUBSPACE",
+            "BASD_TPU_NSPG", "BASD_TPU_STUDENT_BASIS",
+        ):
+            monkeypatch.delenv(env)
+        _, m_ref = jax.jit(step_fn)(state, teacher.variables, images, labels)
+        assert np.isfinite(loss_fused)
+        # eigh-vs-iteration student bases shift mixing weights slightly;
+        # everything else is bf16-rounding-level
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), loss_fused, rtol=5e-3
+        )
+
