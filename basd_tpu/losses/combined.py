@@ -12,8 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from basd_tpu.losses.interpolate import align_token_count
-from basd_tpu.losses.procrustes import procrustes_loss
+from basd_tpu.losses.procrustes import procrustes_loss_mixed
 from basd_tpu.losses.selector import SelectorState, select_and_mix
 
 
@@ -62,8 +61,6 @@ def basd_loss(
 ) -> tuple[jax.Array, dict]:
     """Full BASD objective (reference `BASDLoss.forward`,
     `combined.py:48-85`). Returns (scalar loss, aux diagnostics)."""
-    n_s = student_tokens.shape[2]
-
     ce = cross_entropy(student_logits, soft_targets, label_smoothing)
 
     mixed_tokens, mixed_importance, aux = select_and_mix(
@@ -71,17 +68,21 @@ def basd_loss(
         subspace_k=subspace_k,
     )
 
-    aligned = align_token_count(mixed_tokens, n_s)  # (P, B, N_s, D_t)
-
     # unrolled over the (static, small) extraction points; the mean
     # matches the reference's stack(...).mean() over per-point losses
     # (combined.py:69-76). A static loop instead of vmap keeps the
     # per-point calls plain 3-D (B, N, N) — the shape the fused
     # Newton-Schulz Pallas path dispatches on (vmap over a shard_map
-    # island is the one composition the kernel stack avoids).
+    # island is the one composition the kernel stack avoids). Token-count
+    # alignment (reference combined.py:9-14) happens INSIDE
+    # procrustes_loss_mixed — in Gram space on the NS route, explicitly
+    # on the fallback route — so the (P, B, N_s, D_t) aligned tensor is
+    # never materialized on the hot path.
     p = student_tokens.shape[0]
     geo = jnp.mean(jnp.stack([
-        procrustes_loss(student_tokens[i], aligned[i], mixed_importance[i])
+        procrustes_loss_mixed(
+            student_tokens[i], mixed_tokens[i], mixed_importance[i]
+        )
         for i in range(p)
     ]))
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from basd_tpu.losses.interpolate import align_vector
+from basd_tpu.losses.interpolate import (
+    align_token_count,
+    align_vector,
+    linear_interp_matrix,
+)
 from basd_tpu.spectral import (
     nuclear_norm,
     nuclear_norm_gram,
@@ -47,6 +51,12 @@ def _weighted_centered_gram(x: jax.Array, w: jax.Array) -> jax.Array:
     shape, the dominant cost of the Procrustes stage.)"""
     g = jnp.einsum("bnd,bmd->bnm", x, x,
                    preferred_element_type=jnp.float32, precision=_NS_PREC)
+    return _center_scale_gram(g, w)
+
+
+def _center_scale_gram(g: jax.Array, w: jax.Array) -> jax.Array:
+    """The centering/weighting/ridge algebra of `_weighted_centered_gram`
+    from an already-built RAW Gram (B, N, N)."""
     a = jnp.einsum("bnm,bm->bn", g, w,
                    preferred_element_type=jnp.float32, precision=_NS_PREC)
     c = jnp.einsum("bn,bn->b", w, a, preferred_element_type=jnp.float32)
@@ -67,6 +77,46 @@ def _weighted_centered_gram(x: jax.Array, w: jax.Array) -> jax.Array:
         "bn,bn->b", w, jnp.diagonal(g, axis1=-2, axis2=-1))
     eye = jnp.eye(g.shape[-1], dtype=jnp.float32)
     return g_w, g_w + lam[:, None, None] * eye
+
+
+def procrustes_loss_mixed(
+    student_tokens: jax.Array,  # (B, N_s, D_s)
+    mixed_tokens: jax.Array,  # (B, N_t, D_t) — NOT token-count aligned
+    importance: jax.Array,  # (B, N_w) teacher attention importance
+) -> jax.Array:
+    """`procrustes_loss` consuming the UNALIGNED mixed teacher tokens:
+    on the NS Gram route the token-count alignment happens in Gram space,
+
+        G_aligned = (A M)(A M)^T = A (M M^T) A^T,
+
+    with A the static (N_s, N_t) linear-interpolation matrix — exactly
+    `align_token_count` followed by the Gram build, without ever
+    materializing the (B, N_s, D_t) aligned token tensor (fp32 write +
+    Gram read + VJP re-read per extraction point at the Table-1 shape).
+    Shapes outside the NS gate fall back to explicit alignment."""
+    n_s = student_tokens.shape[1]
+    n_t = mixed_tokens.shape[1]
+    if not (n_s <= min(student_tokens.shape[-1], mixed_tokens.shape[-1])):
+        return procrustes_loss(
+            student_tokens, align_token_count(mixed_tokens, n_s), importance
+        )
+    w = align_vector(importance.astype(jnp.float32), n_s)  # (B, N_s)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    g_s, g_s_r = _weighted_centered_gram(student_tokens, w)
+    g_mix = jnp.einsum("bnd,bmd->bnm", mixed_tokens, mixed_tokens,
+                       preferred_element_type=jnp.float32,
+                       precision=_NS_PREC)
+    if n_t != n_s:
+        a = jnp.asarray(linear_interp_matrix(n_s, n_t))
+        g_mix = jnp.einsum("on,bnm,pm->bop", a, g_mix, a,
+                           preferred_element_type=jnp.float32,
+                           precision=_NS_PREC)
+    g_t, g_t_r = _center_scale_gram(g_mix, w)
+    tr_s = jnp.trace(g_s, axis1=-2, axis2=-1)
+    tr_t = jnp.trace(g_t, axis1=-2, axis2=-1)
+    nuc = nuclear_norm_pair_gram(g_s_r, g_t_r)
+    return jnp.mean(tr_s + tr_t - 2.0 * nuc)
 
 
 def procrustes_loss(

@@ -201,6 +201,38 @@ class TestSelector:
         np.testing.assert_allclose(w_e, w_i, atol=2e-2)
         assert np.all(np.isfinite(g_e)) and np.abs(g_e).max() > 0
 
+    def test_procrustes_mixed_matches_align_then_loss(self):
+        """Gram-space token-count alignment (A G A^T) must equal explicit
+        align_token_count + procrustes_loss — values AND gradients wrt
+        both student and mixed teacher tokens."""
+        from basd_tpu.losses.interpolate import align_token_count
+        from basd_tpu.losses.procrustes import (
+            procrustes_loss,
+            procrustes_loss_mixed,
+        )
+
+        rng = np.random.default_rng(21)
+        s = jnp.asarray(rng.normal(size=(3, 9, 16)).astype(np.float32))
+        m = jnp.asarray(rng.normal(size=(3, 13, 24)).astype(np.float32))
+        imp = jnp.asarray(rng.random((3, 13)).astype(np.float32))
+
+        def via_mixed(s, m):
+            return procrustes_loss_mixed(s, m, imp)
+
+        def via_align(s, m):
+            return procrustes_loss(s, align_token_count(m, 9), imp)
+
+        (l_m, g_m) = jax.value_and_grad(via_mixed, argnums=(0, 1))(s, m)
+        (l_a, g_a) = jax.value_and_grad(via_align, argnums=(0, 1))(s, m)
+        np.testing.assert_allclose(float(l_m), float(l_a), rtol=1e-5)
+        for a, b in zip(g_m, g_a):
+            # identical algebra, different fp contraction order — an
+            # actual algebra error would be O(1) relative
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=1e-3 * float(jnp.abs(b).max()),
+            )
+
     def test_bf16_mix_dtype_close_to_f32(self, monkeypatch):
         """BASD_TPU_MIX_DTYPE=bf16 (production teacher dtype) must stay
         within bf16 rounding of the fp32 mix — loss-level tolerance on
