@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Hardware measurement playbook — run when the axon tunnel returns after
+# an outage. Ordered cheap->expensive; every step is timeout-bounded and
+# logged to $OUT. Killed steps still seed the persistent XLA compile
+# cache (.jax_cache/), so a re-run usually completes (CLAUDE.md gotchas).
+#
+# Usage: bash tools/hw_playbook.sh [outdir]   (default /tmp/hw)
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/hw}
+mkdir -p "$OUT"
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  if timeout "$t" "$@" >"$OUT/$name.log" 2>&1; then
+    echo "    OK"; tail -n 25 "$OUT/$name.log" | sed 's/^/    /'
+  else
+    echo "    FAIL/TIMEOUT (exit $?) — see $OUT/$name.log"
+    tail -n 8 "$OUT/$name.log" | sed 's/^/    /'
+  fi
+}
+
+# 0. Kernel smoke first: an un-Mosaic-compilable kernel must be caught
+#    before any full-shape probe (self-healing covers bench/entry only).
+run smoke            900 python tools/smoke_kernels.py
+# 1. Outage-built kernels, isolated A/Bs (DESIGN.md §7 day-3 pending).
+run block_kernel    1200 python tools/probe_block_kernel.py
+run block_train     1200 python tools/probe_block_train.py
+run dualview        1200 python tools/probe_dualview.py
+run selector        1200 python tools/probe_selector_internals.py
+run loss_tail       1800 python tools/probe_loss_tail.py
+# 2. In-context stage profile (Table-1) — the verification-discipline
+#    gate before quoting any kernel win.
+run profile_t1      2400 python tools/profile_step.py --imagenet
+# 3. Headlines.
+run bench_t1        2400 python bench.py --imagenet
+run bench_t3        1800 python bench.py
+# 4. Driver contracts.
+run entry           1200 python __graft_entry__.py
+echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="
