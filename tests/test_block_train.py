@@ -235,6 +235,8 @@ class TestFusedBlockTrain:
         np.testing.assert_allclose(float(l_f), float(l_x), rtol=5e-6)
         _grad_tree_close(g_f, g_x, rtol=5e-5)
 
+    @pytest.mark.slow  # droppath law is covered by the mask oracle test;
+    # model-level kernel composition by test_model_level_train_parity
     def test_model_level_droppath_runs(self, monkeypatch):
         """rate > 0 on the fused path: masks come from the module's own
         droppath rng stream; gradients stay finite and the masked

@@ -179,6 +179,8 @@ class TestSelector:
         np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
         assert (w >= 0).all()
 
+    @pytest.mark.slow  # opt-in env knob; also exercised by the slow
+    # all-kernels composition test (test_parallel.py)
     def test_student_basis_eigh_path_matches_iteration(self, monkeypatch):
         """BASD_TPU_STUDENT_BASIS=eigh (full-width differentiable eigh)
         must produce the same mixing weights and finite student-token

@@ -397,10 +397,13 @@ class TestFusedWarpKernel:
 
     def test_trivial_augment_dispatch_parity(self, monkeypatch):
         # the full TA op through the fused kernel == through the XLA path
+        # (kernel-vs-XLA warp parity incl. flips is covered separately by
+        # test_matches_xla_path_with_flip; 3 samples keep the interpret-
+        # mode cost bounded on the 1-core CPU mesh)
         monkeypatch.setenv("BASD_TPU_WARP", "fused_interpret")
-        x = _imgs(6, 32, seed=5)
+        x = _imgs(3, 32, seed=5)
         key = jax.random.PRNGKey(4)
-        flip = jax.random.bernoulli(jax.random.PRNGKey(9), 0.5, (6,))
+        flip = jax.random.bernoulli(jax.random.PRNGKey(9), 0.5, (3,))
         got = np.asarray(trivial_augment_wide(x, key, flip_mask=flip))
         monkeypatch.setenv("BASD_TPU_WARP", "xla")
         want = np.asarray(trivial_augment_wide(x, key, flip_mask=flip))
