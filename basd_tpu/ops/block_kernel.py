@@ -242,7 +242,7 @@ def use_fused_block(n: int, d: int, head_dim: int, has_cls: bool,
     # D=768 h=12, hd=64)
     if d % head_dim != 0 or head_dim % 16 != 0 or n < 2:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
+    # auto stays on XLA until the in-context hardware stage profile
+    # confirms the win (docs/DESIGN.md §7 day-3 "pending measurement").
+    # Force with BASD_TPU_BLOCK=fused; probes A/B explicitly.
+    return False

@@ -147,10 +147,10 @@ def use_fused_mlp(d: int, train: bool) -> bool:
         return True
     if d % 8 != 0:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
+    # auto stays on XLA until the in-context hardware stage profile
+    # confirms the win (docs/DESIGN.md §7 day-3 "pending measurement").
+    # Force with BASD_TPU_MLP=fused; probes A/B explicitly.
+    return False
 
 
 # ---------------------------------------------------------------------------

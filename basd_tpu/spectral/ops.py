@@ -132,10 +132,9 @@ def _use_ns_pair_kernel(shape: tuple[int, ...]) -> bool:
         return False
     if impl in ("fused", "fused_interpret"):
         return True
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
+    # auto stays on XLA until the in-context hardware stage profile
+    # confirms the win (docs/DESIGN.md §7 day-3 "pending measurement").
+    return False
 
 
 def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
@@ -712,10 +711,9 @@ def _use_subspace_kernel(shape: tuple[int, ...], k: int) -> bool:
         return False
     if impl in ("fused", "fused_interpret"):
         return True
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
+    # auto stays on XLA until the in-context hardware stage profile
+    # confirms the win (docs/DESIGN.md §7 day-3 "pending measurement").
+    return False
 
 
 def topk_basis_gram_nograd(
