@@ -31,8 +31,13 @@ run dualview        1200 python tools/probe_dualview.py
 run selector        1200 python tools/probe_selector_internals.py
 run loss_tail       1800 python tools/probe_loss_tail.py
 # 2. In-context stage profile (Table-1) — the verification-discipline
-#    gate before quoting any kernel win.
+#    gate before quoting any kernel win. Two arms: production 'auto'
+#    (measured XLA paths) vs the outage-built kernels forced on; the
+#    per-stage deltas decide which kernels flip to auto-fused.
 run profile_t1      2400 python tools/profile_step.py --imagenet
+run profile_t1_fused 2400 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
+    BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
+    python tools/profile_step.py --imagenet
 # 3. Headlines.
 run bench_t1        2400 python bench.py --imagenet
 run bench_t3        1800 python bench.py

@@ -103,7 +103,8 @@ def main():
     for env, vals in (
         ("BASD_TPU_MIX_DTYPE", ("f32", "bf16")),
         ("BASD_TPU_STUDENT_BASIS", ("iter", "eigh")),
-        ("BASD_TPU_NSPG", ("auto", "xla")),
+        # 'auto' keeps unmeasured kernels on XLA; force 'fused' to A/B
+        ("BASD_TPU_NSPG", ("fused", "xla")),
     ):
         for val in vals:
             os.environ[env] = val

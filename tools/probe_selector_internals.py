@@ -101,6 +101,10 @@ def main():
           flush=True)
 
     # fused forward-only subspace-iteration kernel vs the XLA chain
+    # ('auto' keeps the unmeasured kernel on XLA; force it for the A/B)
+    import os
+
+    os.environ["BASD_TPU_SUBSPACE"] = "fused"
     from basd_tpu.spectral import topk_basis_gram_nograd
     from basd_tpu.spectral.ops import centered_gram
 
