@@ -139,17 +139,21 @@ def _ns_pair(interpret):
     )(g)
 
 
-# (name, policy env var flipped to "xla" on failure, check fn)
+# (name, policy env var flipped to "xla" on failure, check fn, auto_on).
+# auto_on=False kernels stay on XLA under 'auto' (in-context win not yet
+# measured on hardware — see the dispatch gates); they are smoke-checked
+# only when their env explicitly forces the fused path, so bench/entry
+# never spend tunnel time compiling a kernel that cannot dispatch.
 KERNEL_CHECKS = (
-    ("attention", "BASD_TPU_ATTENTION", _attention),
-    ("attention_bwd", "BASD_TPU_ATTENTION", _attention_bwd),
-    ("block_fwd", "BASD_TPU_BLOCK", _block_fwd),
-    ("block_train", "BASD_TPU_TRAIN_BLOCK", _block_train),
-    ("mlp", "BASD_TPU_MLP", _mlp),
-    ("warp", "BASD_TPU_WARP", _warp),
-    ("jacobi", "BASD_TPU_JACOBI", _jacobi),
-    ("subspace", "BASD_TPU_SUBSPACE", _subspace),
-    ("ns_pair", "BASD_TPU_NSPG", _ns_pair),
+    ("attention", "BASD_TPU_ATTENTION", _attention, True),
+    ("attention_bwd", "BASD_TPU_ATTENTION", _attention_bwd, True),
+    ("block_fwd", "BASD_TPU_BLOCK", _block_fwd, False),
+    ("block_train", "BASD_TPU_TRAIN_BLOCK", _block_train, False),
+    ("mlp", "BASD_TPU_MLP", _mlp, False),
+    ("warp", "BASD_TPU_WARP", _warp, True),
+    ("jacobi", "BASD_TPU_JACOBI", _jacobi, True),
+    ("subspace", "BASD_TPU_SUBSPACE", _subspace, False),
+    ("ns_pair", "BASD_TPU_NSPG", _ns_pair, False),
 )
 
 
@@ -167,9 +171,17 @@ def validate_kernel_dispatches(
         except RuntimeError:  # pragma: no cover
             return {}
     failures: dict[str, str] = {}
-    for name, env, fn in KERNEL_CHECKS:
-        if os.environ.get(env) == "xla":
+    for name, env, fn, auto_on in KERNEL_CHECKS:
+        setting = os.environ.get(env)
+        if setting == "xla":
             continue  # already forced off (possibly by an earlier failure)
+        if (
+            not interpret
+            and not auto_on
+            and setting not in ("fused", "fused_interpret")
+        ):
+            continue  # pending-measurement kernel: cannot dispatch on auto
+            # (interpret-mode validation still covers every kernel)
         try:
             out = fn(interpret)
             leaf = jax.tree_util.tree_leaves(out)[0]

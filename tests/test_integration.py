@@ -288,7 +288,7 @@ class TestKernelSmoke:
             raise RuntimeError("mosaic says no")
 
         monkeypatch.setattr(
-            ks, "KERNEL_CHECKS", (("fake", "BASD_TPU_FAKE", boom),)
+            ks, "KERNEL_CHECKS", (("fake", "BASD_TPU_FAKE", boom, True),)
         )
         monkeypatch.delenv("BASD_TPU_FAKE", raising=False)
         failures = ks.validate_kernel_dispatches(
