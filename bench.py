@@ -33,12 +33,43 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
+def _arm_watchdog() -> None:
+    """When the axon tunnel is down, any backend init hangs forever
+    (CLAUDE.md gotchas) — the driver would record nothing. A daemon
+    timer prints a self-describing error JSON and hard-exits instead.
+    Generous default: first contact alone can take 4+ min and a cold
+    compile 6-8 min. Override/disable via BASD_BENCH_WATCHDOG_S (<=0
+    disables)."""
+    import threading
+
+    budget = float(os.environ.get("BASD_BENCH_WATCHDOG_S", "2400"))
+    if budget <= 0:
+        return
+
+    def fire():
+        print(json.dumps({
+            "metric": "basd_distill_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"watchdog: hardware unresponsive after {budget:.0f}s "
+                     "(axon tunnel down?) — no measurement taken",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     import argparse
 
     from basd_tpu.losses import extraction_points, init_selector
     from basd_tpu.models import create_student, load_teacher
     from basd_tpu.training.train_step import make_train_step
+
+    _arm_watchdog()
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
