@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Tunnel watcher — probe the axon transport on a loop; the moment it
+# answers, run the full hardware playbook (tools/hw_playbook.sh) and
+# exit. Every probe is timeout-bounded (a down tunnel hangs forever,
+# CLAUDE.md gotchas). Logs to $OUT/watch.log.
+#
+# Usage: bash tools/hw_watch.sh [outdir] [probe_timeout_s] [sleep_s]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/hw}
+PROBE_T=${2:-300}
+SLEEP_S=${3:-420}
+mkdir -p "$OUT"
+LOG="$OUT/watch.log"
+
+echo "=== hw_watch start $(date +%H:%M:%S) (probe ${PROBE_T}s, sleep ${SLEEP_S}s) ===" | tee -a "$LOG"
+while true; do
+  if timeout "$PROBE_T" python -c "
+import jax
+d = jax.devices()
+assert d and d[0].platform != 'cpu', d
+print('TUNNEL UP:', d)
+" >>"$LOG" 2>&1; then
+    echo "=== tunnel up at $(date +%H:%M:%S); launching playbook ===" | tee -a "$LOG"
+    bash tools/hw_playbook.sh "$OUT" 2>&1 | tee -a "$LOG"
+    echo "=== playbook finished at $(date +%H:%M:%S) ===" | tee -a "$LOG"
+    exit 0
+  fi
+  echo "probe failed at $(date +%H:%M:%S); sleeping ${SLEEP_S}s" >>"$LOG"
+  sleep "$SLEEP_S"
+done
