@@ -77,8 +77,23 @@ def main() -> None:
         help="Table-1 workload (ViT-Small student, 224 px, batch 256) "
              "instead of the default Table-3 headline",
     )
+    ap.add_argument(
+        "--cross-arch", action="store_true",
+        help="Table-2 workload (ConvNeXt-V2-Tiny teacher -> DeiT-Tiny "
+             "student, 224 px, batch 256; reference "
+             "configs/experiment/basd_imagenet_cross_arch.yaml)",
+    )
+    ap.add_argument(
+        # hidden wiring check: shrink shapes so every arm's staging +
+        # step compiles and runs ONE slope pair on the CPU backend
+        # offline (JAX_PLATFORMS=cpu); numbers are meaningless
+        "--smoke", action="store_true", help=argparse.SUPPRESS,
+    )
     args = ap.parse_args()
+    if args.imagenet and args.cross_arch:
+        ap.error("--imagenet and --cross-arch are mutually exclusive")
 
+    teacher_name = "dinov2_vitb14"
     if args.imagenet:
         img_size, batch, num_classes = 224, 256, 1000
         student_name, overrides = "vit_small_patch16", None
@@ -87,6 +102,19 @@ def main() -> None:
         # no remat here either: ViT-Small activations at b256/224px are
         # ~5 GB bf16, well inside one v5e chip's 16 GB HBM (measured fit;
         # the config knob model.vit.remat still exists for larger models)
+        remat, n1, n2 = False, 4, 24
+    elif args.cross_arch:
+        # Table-2: cross-architecture distillation. Teacher is the
+        # ConvNeXt-V2-Tiny FCMAE encoder (reference
+        # `configs/experiment/basd_imagenet_cross_arch.yaml`); the student
+        # stays the base config's deit_tiny_patch16_224
+        # (`configs/config.yaml:20`). CNN teachers emit ONE token layer
+        # (stage-4 features), so the selector runs L=1.
+        img_size, batch, num_classes = 224, 256, 1000
+        student_name, overrides = "vit_tiny_patch16", None
+        student_patch = 16
+        teacher_name = "convnextv2_tiny"
+        metric = "vit_tiny_cross_arch_basd_distill_throughput"
         remat, n1, n2 = False, 4, 24
     else:
         img_size, batch, num_classes = 32, 128, 100
@@ -100,6 +128,13 @@ def main() -> None:
         # `model.vit.remat` still enables it for models that need it)
         remat, n1, n2 = False, 10, 110
 
+    if args.smoke:
+        # CPU-runnable wiring check: teacher patch/stride still divides
+        # the shrunken image (dinov2 patch 14 tolerates remainders via
+        # VALID conv; convnext stride 32 needs img >= 64)
+        img_size = 32 if not (args.imagenet or args.cross_arch) else 64
+        batch, n1, n2 = 8, 1, 3
+
     # self-healing Pallas dispatch: tiny-shape Mosaic smoke of every
     # kernel; a kernel that fails to compile on THIS backend is flipped
     # to its XLA fallback (env policy) instead of killing the bench
@@ -110,7 +145,7 @@ def main() -> None:
         print(f"kernel_smoke {_name} FAILED -> xla fallback: {_err}",
               flush=True)
 
-    teacher = load_teacher("dinov2_vitb14", img_size=img_size,
+    teacher = load_teacher(teacher_name, img_size=img_size,
                            dtype=jnp.bfloat16)
     points = extraction_points(12, 4)
     student, cfg = create_student(
@@ -233,7 +268,7 @@ def main() -> None:
                     "step_time_ms": round(1e3 * step_time, 3),
                     "batch": batch,
                     "chips": n_chips,
-                    "teacher": "dinov2_vitb14",
+                    "teacher": teacher_name,
                     "student": f"{student_name}_img{img_size}",
                     "student_arch": {
                         "img_size": cfg.img_size,
@@ -247,6 +282,9 @@ def main() -> None:
                     },
                     "raw_input_px": raw,
                     "loss": loss,
+                    # present (true) only under --smoke: shrunken-shape
+                    # wiring check, NOT a measurement
+                    **({"smoke": True} if args.smoke else {}),
                     "mfu_vs_bf16_peak": (
                         round(mfu, 4) if mfu is not None else None
                     ),
