@@ -84,6 +84,13 @@ def main() -> None:
              "configs/experiment/basd_imagenet_cross_arch.yaml)",
     )
     ap.add_argument(
+        "--teacher", default=None,
+        help="override the teacher preset (e.g. dinov2_vitl14 for the "
+             "reference's literal Table-1 teacher; the default ViT-B/14 "
+             "keeps headlines comparable across rounds — documented "
+             "deviation, docs/DESIGN.md section 2)",
+    )
+    ap.add_argument(
         # hidden wiring check: shrink shapes so every arm's staging +
         # step compiles and runs ONE slope pair on the CPU backend
         # offline (JAX_PLATFORMS=cpu); numbers are meaningless
@@ -127,6 +134,10 @@ def main() -> None:
         # memory-bound, `src/train.py:53`; the TPU config knob
         # `model.vit.remat` still enables it for models that need it)
         remat, n1, n2 = False, 10, 110
+
+    if args.teacher:
+        teacher_name = args.teacher
+        metric = f"{metric}_teacher_{teacher_name}"
 
     if args.smoke:
         # CPU-runnable wiring check: teacher patch/stride still divides

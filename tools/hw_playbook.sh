@@ -41,6 +41,9 @@ run profile_t1_fused 2400 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
 # 3. Headlines.
 run bench_t1        2400 python bench.py --imagenet
 run bench_t3        1800 python bench.py
+# Table-2 (cross-arch, ConvNeXt-V2-Tiny teacher): first-ever measurement,
+# full cold compile budget.
+run bench_t2        2400 python bench.py --cross-arch
 # 4. Driver contracts.
 run entry           1200 python __graft_entry__.py
 echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="
