@@ -38,6 +38,13 @@ run profile_t1      2400 python tools/profile_step.py --imagenet
 run profile_t1_fused 2400 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
     BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
     python tools/profile_step.py --imagenet
+# Table-3 is latency-bound spectral work — the SUBSPACE/NSPG decisions
+# need its own in-context arms (skip the >25-min 'full loss' jit; the
+# tail is attributed by probe_loss_tail above).
+run profile_t3      1800 python tools/profile_step.py --only dual_view,teacher,student,selector
+run profile_t3_fused 1800 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
+    BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
+    python tools/profile_step.py --only dual_view,teacher,student,selector
 # 3. Headlines.
 run bench_t1        2400 python bench.py --imagenet
 run bench_t3        1800 python bench.py
