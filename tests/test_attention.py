@@ -76,8 +76,8 @@ class TestFusedAttention:
         def loss_oracle(q, k, v):
             return jnp.sum(jnp.sin(oracle(q, k, v, hd)))
 
-        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
-        g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+        g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(q, k, v)
+        g2 = jax.jit(jax.grad(loss_oracle, argnums=(0, 1, 2)))(q, k, v)
         for a, b_, name in zip(g1, g2, "qkv"):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=2e-5,
@@ -181,10 +181,12 @@ class TestFusedAttention:
                 + jnp.sum(jnp.cos(out.tokens))
             )
 
+        # fresh jit per env (dispatch knob is read at trace time); jitted
+        # because eager dispatch costs seconds on the 1-core mesh
         monkeypatch.setenv("BASD_TPU_ATTENTION", "fused_interpret")
-        g_f = jax.grad(loss)(variables["params"])
+        g_f = jax.jit(jax.grad(loss))(variables["params"])
         monkeypatch.setenv("BASD_TPU_ATTENTION", "xla")
-        g_x = jax.grad(loss)(variables["params"])
+        g_x = jax.jit(jax.grad(lambda p: loss(p)))(variables["params"])
         flat_f = jax.tree_util.tree_leaves_with_path(g_f)
         flat_x = dict(jax.tree_util.tree_leaves_with_path(g_x))
         for kp, leaf in flat_f:

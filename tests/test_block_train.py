@@ -111,8 +111,10 @@ class TestFusedBlockTrain:
             out, _ = _block().apply({"params": p}, xx, False)
             return jnp.sum(jnp.sin(out))
 
-        gf = jax.grad(loss_f, argnums=(0, 1))(params, x)
-        gx = jax.grad(loss_x, argnums=(0, 1))(params, x)
+        # jitted grads: eager interpret-mode dispatch costs seconds on the
+        # 1-core mesh; jitted programs are persistent-cache-served warm
+        gf = jax.jit(jax.grad(loss_f, argnums=(0, 1)))(params, x)
+        gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(params, x)
         _grad_tree_close(gf[0], gx[0], rtol=3e-5)
         np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gx[1]),
                                    atol=3e-5 * np.abs(gx[1]).max())
@@ -135,8 +137,8 @@ class TestFusedBlockTrain:
             np.asarray(out_f), np.asarray(_oracle(params, x, m1, m2, keep)),
             atol=2e-5,
         )
-        gf = jax.grad(loss_f, argnums=(0, 1))(params, x)
-        go = jax.grad(loss_o, argnums=(0, 1))(params, x)
+        gf = jax.jit(jax.grad(loss_f, argnums=(0, 1)))(params, x)
+        go = jax.jit(jax.grad(loss_o, argnums=(0, 1)))(params, x)
         _grad_tree_close(gf[0], go[0], rtol=3e-5)
         np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(go[1]),
                                    atol=3e-5 * np.abs(go[1]).max())
@@ -150,7 +152,7 @@ class TestFusedBlockTrain:
                                        1.0, 1.0, True)
             return jnp.sum(imp)
 
-        g = jax.grad(loss)(x)
+        g = jax.jit(jax.grad(loss))(x)
         assert float(jnp.abs(g).max()) == 0.0
 
     def test_mask_cotangents_are_zero(self):
@@ -161,7 +163,7 @@ class TestFusedBlockTrain:
             out, _ = fused_block_train(x, params, m1, m2, HD, 0.9, 0.9, True)
             return jnp.sum(out)
 
-        g1, g2 = jax.grad(loss, argnums=(0, 1))(m, m)
+        g1, g2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(m, m)
         assert float(jnp.abs(g1).max()) == 0.0
         assert float(jnp.abs(g2).max()) == 0.0
 
@@ -199,7 +201,7 @@ class TestFusedBlockTrain:
                                                1.0, 1.0, interpret=True)
             return jnp.sum(jnp.sin(out))
 
-        want = jax.grad(loss, argnums=(0, 1))(params, x)
+        want = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
         with train_block_mesh(create_mesh(data=8)):
             got = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
         _grad_tree_close(got[0], want[0], rtol=3e-5)
@@ -228,10 +230,13 @@ class TestFusedBlockTrain:
             out = model.apply({"params": params}, x, train=True)
             return jnp.sum(jnp.sin(out.logits)) + jnp.sum(jnp.cos(out.tokens))
 
+        # fresh jit per env (dispatch knob is read at trace time)
         monkeypatch.setenv("BASD_TPU_TRAIN_BLOCK", "fused_interpret")
-        l_f, g_f = jax.value_and_grad(loss)(variables["params"])
+        l_f, g_f = jax.jit(jax.value_and_grad(loss))(variables["params"])
         monkeypatch.setenv("BASD_TPU_TRAIN_BLOCK", "xla")
-        l_x, g_x = jax.value_and_grad(loss)(variables["params"])
+        l_x, g_x = jax.jit(jax.value_and_grad(lambda p: loss(p)))(
+            variables["params"]
+        )
         np.testing.assert_allclose(float(l_f), float(l_x), rtol=5e-6)
         _grad_tree_close(g_f, g_x, rtol=5e-5)
 
@@ -291,5 +296,5 @@ class TestFusedBlockTrain:
                 out = model.apply({"params": params}, x, train=True)
                 return jnp.sum(jnp.sin(out.logits))
 
-            grads[remat] = jax.grad(loss)(variables["params"])
+            grads[remat] = jax.jit(jax.grad(loss))(variables["params"])
         _grad_tree_close(grads[True], grads[False], rtol=1e-6)

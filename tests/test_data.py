@@ -180,11 +180,12 @@ class TestShardCache:
     with writer peak RSS O(chunk) — the ImageNet-class scalability contract
     (reference streams via 8 workers, `src/data/datasets.py:126-177`)."""
 
-    DATASET = "synthetic/ram-4c-32px-120000n"  # 120k x 32px = 368 MB
+    DATASET = "synthetic/ram-4c-32px-48000n"  # 48k x 32px = 147 MB (>2x the
+    # 64 MB RAM limit; generation is the test's cost on the 1-core host)
 
     def test_writer_rss_bounded_and_memmap(self, tmp_path):
         # Materialize in a clean subprocess (no jax) so ru_maxrss measures
-        # the data path alone; the 368 MB split must not be RAM-resident.
+        # the data path alone; the 147 MB split must not be RAM-resident.
         code = (
             "import resource, numpy as np\n"
             "from basd_tpu.data import load_split_arrays\n"
@@ -192,12 +193,12 @@ class TestShardCache:
             f"imgs, labs = load_split_arrays({self.DATASET!r}, 'train')\n"
             "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1024\n"
             "assert isinstance(imgs, np.memmap), type(imgs)\n"
-            "assert imgs.shape == (120000, 32, 32, 3), imgs.shape\n"
-            "assert labs.shape == (120000,)\n"
+            "assert imgs.shape == (48000, 32, 32, 3), imgs.shape\n"
+            "assert labs.shape == (48000,)\n"
             "print(f'base_mb={base_mb:.0f} peak_mb={peak_mb:.0f}')\n"
             "delta = peak_mb - base_mb\n"
-            "assert delta < 150, f'writer added {delta:.0f} MB RSS for a "
-            "368 MB split — not O(chunk)'\n"
+            "assert delta < 100, f'writer added {delta:.0f} MB RSS for a "
+            "147 MB split — not O(chunk)'\n"
         )
         env = dict(os.environ, BASD_DATA_CACHE=str(tmp_path),
                    JAX_PLATFORMS="cpu")

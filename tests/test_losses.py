@@ -172,7 +172,9 @@ class TestSelector:
 
     def test_weights_sum_to_one(self):
         state, student, teacher, imp = self._setup()
-        _, _, aux = select_and_mix(
+        # jitted: eager op-by-op selector dispatch costs seconds on the
+        # 1-core mesh; one program is persistent-cache-served warm
+        _, _, aux = jax.jit(select_and_mix)(
             state, jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(imp)
         )
         w = np.asarray(aux["mixing_weights"])
@@ -224,9 +226,11 @@ class TestSelector:
         def via_align(s, m):
             return procrustes_loss(s, align_token_count(m, 9), imp)
 
-        (l_m, g_m) = jax.value_and_grad(via_mixed, argnums=(0, 1))(s, m)
-        (l_a, g_a) = jax.value_and_grad(via_align, argnums=(0, 1))(s, m)
-        np.testing.assert_allclose(float(l_m), float(l_a), rtol=1e-5)
+        (l_m, g_m) = jax.jit(jax.value_and_grad(via_mixed, argnums=(0, 1)))(s, m)
+        (l_a, g_a) = jax.jit(jax.value_and_grad(via_align, argnums=(0, 1)))(s, m)
+        # rtol covers jit-fusion contraction-order drift; an actual algebra
+        # error would be O(1) relative
+        np.testing.assert_allclose(float(l_m), float(l_a), rtol=1e-4)
         for a, b in zip(g_m, g_a):
             # identical algebra, different fp contraction order — an
             # actual algebra error would be O(1) relative
@@ -252,8 +256,11 @@ class TestSelector:
 
         def run(env):
             monkeypatch.setenv("BASD_TPU_MIX_DTYPE", env)
-            total, aux = basd_loss(
-                state, logits, targets, st, tt, ti, label_smoothing=0.1)
+            # fresh jit per env (the knob is read at trace time); jitted
+            # because eager dispatch costs seconds on the 1-core mesh
+            total, aux = jax.jit(
+                lambda *a: basd_loss(*a, label_smoothing=0.1)
+            )(state, logits, targets, st, tt, ti)
             return float(total), float(aux["geo_loss"])
 
         t_b, g_b = run("bf16")
@@ -263,7 +270,7 @@ class TestSelector:
 
     def test_matches_numpy_oracle(self):
         state, student, teacher, imp = self._setup(seed=7)
-        _, _, aux = select_and_mix(
+        _, _, aux = jax.jit(select_and_mix)(
             state, jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(imp)
         )
         got = np.asarray(aux["mixing_weights"])
@@ -282,7 +289,7 @@ class TestSelector:
 
     def test_mixing_is_convex_combination(self):
         state, student, teacher, imp = self._setup(seed=8)
-        mixed, mixed_imp, aux = select_and_mix(
+        mixed, mixed_imp, aux = jax.jit(select_and_mix)(
             state, jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(imp)
         )
         w = np.asarray(aux["mixing_weights"])
@@ -304,7 +311,7 @@ class TestSelector:
         imp = np.ones((l, b, n), dtype=np.float32) / n
         state = init_selector(jax.random.PRNGKey(0), 1, d, d)
         state = state._replace(proj_t=state.proj_s)
-        _, _, aux = select_and_mix(
+        _, _, aux = jax.jit(select_and_mix)(
             state, jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(imp)
         )
         d2 = np.asarray(aux["grassmann_d2"])[0]

@@ -261,8 +261,8 @@ class TestEqualizeMasked:
 
         x = self._x()
         mask = jnp.asarray([1, 0, 0, 1, 0, 0, 0, 1, 0, 0], bool)
-        want = np.asarray(jnp.where(mask[:, None, None, None],
-                                    _equalize(x), x))
+        want = np.asarray(jax.jit(lambda x: jnp.where(
+            mask[:, None, None, None], _equalize(x), x))(x))
         got = np.asarray(jax.jit(
             lambda x: _equalize_masked(x, mask, capacity=4))(x))
         np.testing.assert_allclose(got, want, atol=1e-6)
@@ -272,8 +272,8 @@ class TestEqualizeMasked:
 
         x = self._x(seed=9)
         mask = jnp.asarray([1, 1, 1, 1, 1, 0, 1, 1, 0, 1], bool)
-        want = np.asarray(jnp.where(mask[:, None, None, None],
-                                    _equalize(x), x))
+        want = np.asarray(jax.jit(lambda x: jnp.where(
+            mask[:, None, None, None], _equalize(x), x))(x))
         # count (8) > capacity (4): cond must take the full-batch branch
         got = np.asarray(jax.jit(
             lambda x: _equalize_masked(x, mask, capacity=4))(x))
@@ -284,9 +284,10 @@ class TestEqualizeMasked:
 
         x = self._x(b=6, seed=10)
         for mask in (jnp.zeros(6, bool), jnp.ones(6, bool)):
-            want = np.asarray(jnp.where(mask[:, None, None, None],
-                                        _equalize(x), x))
-            got = np.asarray(_equalize_masked(x, mask, capacity=3))
+            want = np.asarray(jax.jit(lambda x, m: jnp.where(
+                m[:, None, None, None], _equalize(x), x))(x, mask))
+            got = np.asarray(jax.jit(
+                lambda x, m: _equalize_masked(x, m, capacity=3))(x, mask))
             np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_capacity_policy(self):
@@ -400,13 +401,21 @@ class TestFusedWarpKernel:
         # (kernel-vs-XLA warp parity incl. flips is covered separately by
         # test_matches_xla_path_with_flip; 3 samples keep the interpret-
         # mode cost bounded on the 1-core CPU mesh)
+        # jit each arm: eager op-by-op dispatch of the whole TA pipeline
+        # costs ~10 s/arm on the 1-core mesh; one jitted program per arm
+        # is persistent-cache-served on warm runs
+        f = jax.jit(lambda x, k, fl: trivial_augment_wide(x, k, flip_mask=fl))
         monkeypatch.setenv("BASD_TPU_WARP", "fused_interpret")
         x = _imgs(3, 32, seed=5)
         key = jax.random.PRNGKey(4)
         flip = jax.random.bernoulli(jax.random.PRNGKey(9), 0.5, (3,))
-        got = np.asarray(trivial_augment_wide(x, key, flip_mask=flip))
+        got = np.asarray(f(x, key, flip))
         monkeypatch.setenv("BASD_TPU_WARP", "xla")
-        want = np.asarray(trivial_augment_wide(x, key, flip_mask=flip))
+        want = np.asarray(
+            jax.jit(lambda x, k, fl: trivial_augment_wide(x, k, flip_mask=fl))(
+                x, key, flip
+            )
+        )
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_shear_beyond_old_budget_keeps_content(self):

@@ -183,11 +183,13 @@ def ours_run(problem, reference_run):
         return total, aux
 
     s_tokens = jnp.asarray(problem["student_tokens"])
-    (total, aux), grads = jax.value_and_grad(
+    # jitted: eager op-by-op dispatch of the loss+grad costs ~14 s on the
+    # 1-core mesh; one program is persistent-cache-served on warm runs
+    (total, aux), grads = jax.jit(jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
-    )(s_tokens, selector.log_temperatures)
+    ))(s_tokens, selector.log_temperatures)
 
-    mixed_tokens, mixed_importance, sel_aux = select_and_mix(
+    mixed_tokens, mixed_importance, sel_aux = jax.jit(select_and_mix)(
         selector,
         s_tokens,
         jnp.asarray(problem["teacher_tokens"]),

@@ -201,7 +201,7 @@ class TestMaskedPrincipalAngles:
                 jnp.asarray([3], dtype=jnp.int32),
             )[0]
 
-        g = np.asarray(jax.grad(f)(jnp.asarray(zs)))
+        g = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(zs)))
         assert np.all(np.isfinite(g))
         assert np.abs(g).max() > 0
 
