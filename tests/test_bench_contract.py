@@ -1,0 +1,54 @@
+"""Contract test for the driver-facing bench artifact.
+
+`bench.py` is what the round driver runs on real hardware; a staging or
+JSON-schema regression there is invisible to the unit suite until the
+driver fails. The hidden `--smoke` mode shrinks shapes so the FULL arm
+(kernel smoke -> teacher/student staging -> subspace-K calibration ->
+jitted train step -> slope timing -> JSON) executes on the CPU backend.
+Slow-marked: one subprocess run costs ~60 s warm on the 1-core host.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+_ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_bench_smoke_json_contract():
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        BASD_BENCH_WATCHDOG_S="0",  # no watchdog on the CPU backend
+    )
+    proc = subprocess.run(
+        [sys.executable, str(_ROOT / "bench.py"), "--smoke"],
+        env=env, cwd=_ROOT, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    # ONE JSON line on stdout (kernel-smoke warnings would precede it)
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "vit_tiny_basd_distill_throughput"
+    assert out["unit"] == "images/sec/chip"
+    assert out["value"] > 0
+    assert out["vs_baseline"] is None
+    d = out["detail"]
+    assert d["smoke"] is True  # never mistakable for a measurement
+    assert d["teacher"] == "dinov2_vitb14"
+    arch = d["student_arch"]
+    # the self-describing-architecture contract (round-2 VERDICT weak #6)
+    for key in ("img_size", "patch_size", "embed_dim", "depth",
+                "num_heads", "num_tokens", "params_m", "remat"):
+        assert key in arch, key
+    assert arch["patch_size"] == 4 and arch["num_tokens"] == 65
+    assert "kernel_fallbacks" in d
+    import numpy as np
+
+    assert np.isfinite(d["loss"])
