@@ -52,3 +52,22 @@ def test_bench_smoke_json_contract():
     import numpy as np
 
     assert np.isfinite(d["loss"])
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_pinned_loss():
+    """The driver contract AND the repo's cheapest full-pipeline numerics
+    invariant (CLAUDE.md verification discipline): the 8-device dryrun's
+    first-step loss is pinned to 4 decimals. Any unintended numerics
+    change anywhere in the step (augment, models, selector, Procrustes,
+    optimizer) moves it."""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=dict(os.environ), cwd=_ROOT, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "dryrun_multichip ok devices=8 mesh=(4x2) loss=5.8303" in (
+        proc.stdout
+    ), proc.stdout[-2000:]
