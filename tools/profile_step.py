@@ -66,6 +66,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--imagenet", action="store_true",
                     help="Table-1 workload: ViT-Small 224px batch 256")
+    ap.add_argument("--cross-arch", action="store_true",
+                    help="Table-2 workload: ConvNeXt-V2-Tiny teacher -> "
+                    "ViT-Tiny student, 224px batch 256 (bench.py "
+                    "--cross-arch shapes)")
     ap.add_argument("--img", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--student", default=None)
@@ -90,6 +94,14 @@ def main():
     if args.imagenet:
         img_size, batch, num_classes = 224, 256, 1000
         student_name, patch_override = "vit_small_patch16", None
+        remat, n = True, 8
+    elif args.cross_arch:
+        img_size, batch, num_classes = 224, 256, 1000
+        student_name, patch_override = "vit_tiny_patch16", None
+        args.teacher = (
+            "convnextv2_tiny" if args.teacher == "dinov2_vitb14"
+            else args.teacher
+        )
         remat, n = True, 8
     else:
         img_size, batch, num_classes = 32, 128, 100
