@@ -329,6 +329,14 @@ def fused_attention_sharded(q, k, v, head_dim: int, interpret: bool = False):
     mesh = _ATTENTION_MESH.get()
     if mesh is None or mesh.size <= 1:
         return fused_attention(q, k, v, head_dim, interpret)
+    tp = mesh.shape["model"] if "model" in mesh.axis_names else 1
+    d = q.shape[-1]
+    if tp > 1 and (d % tp or (d // tp) % head_dim):
+        # tp does not divide the heads: a local shard would split a head
+        # and the kernel's static lane slicing would go out of bounds
+        # (cryptic Mosaic trace error). Route to the XLA chain instead —
+        # GSPMD partitions it fine without an island. (ADVICE r3.)
+        return xla_attention_ref(q, k, v, head_dim)
     spec = _island_spec(mesh)
     fn = jax.shard_map(
         functools.partial(

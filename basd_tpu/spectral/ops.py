@@ -460,9 +460,11 @@ _NS_SQRT_SCHED = (
 def _ns_sqrt_pair(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Coupled scheduled-quintic iteration (Y, Z) -> (A^1/2, A^-1/2) for A
     with real nonnegative spectrum and spectral radius <= 1 (PSD, or a
-    product of PSD factors — similar to PSD). Pure batched d x d matmuls;
-    HIGHEST stays mandatory (bf16x3 rounding compounds through the
-    coupled recurrence — see `_polar_orthonormalize`'s note)."""
+    product of PSD factors — similar to PSD). Pure batched d x d matmuls
+    at `_NS` (= Precision.HIGH, bf16x3): the module-level precision note
+    and tools/probe_ns_precision.py validate a ~8e-5 relative error floor
+    for the coupled quintic recurrence at HIGH, and the Procrustes loss
+    tolerates it (the cubic-iteration HIGHEST caveat is obsolete)."""
     d = a.shape[-1]
     eye = jnp.eye(d, dtype=a.dtype)
     mm = lambda p, q: jnp.einsum("...ij,...jk->...ik", p, q,
@@ -606,8 +608,10 @@ def nuclear_norm_pair(s: jax.Array, t: jax.Array) -> jax.Array:
 
     For the BASD Procrustes loss (N ~ 64-196 tokens vs D_t = 768) this
     shrinks every Newton-Schulz matmul from (D_s x D_s) to (N x N) and
-    never materializes the (D_s x D_t) cross-covariance — validated to
-    float64 machine precision against SVD. Falls back to the Gram form via
+    never materializes the (D_s x D_t) cross-covariance. Gram builds and
+    the iteration run bf16x3 HIGH: measured ~8e-5 relative error vs SVD
+    (tools/probe_ns_precision.py), inside the loss's tolerance. Falls
+    back to the Gram form via
     `nuclear_norm_gram` when N is not the smallest axis (handled by the
     caller). W is a product of two PSD Grams, hence similar to symmetric
     PSD — the scheduled square-root iteration applies unchanged."""

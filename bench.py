@@ -37,16 +37,25 @@ def _arm_watchdog() -> None:
     """When the axon tunnel is down, any backend init hangs forever
     (CLAUDE.md gotchas) — the driver would record nothing. A daemon
     timer prints a self-describing error JSON and hard-exits instead.
-    Generous default: first contact alone can take 4+ min and a cold
-    compile 6-8 min. Override/disable via BASD_BENCH_WATCHDOG_S (<=0
-    disables)."""
+
+    Default 1200 s: the round-3 driver artifact (BENCH_r03.json, rc=124
+    with xla-bridge warnings >=25 min apart before the kill) shows the
+    driver budget is >~25 min, and the old 2400 s default fired AFTER it
+    — the worst outcome, a timeout with no parseable JSON (VERDICT r3
+    weak #1). 1200 s still covers first contact (4+ min) plus a cold
+    compile (6-8 min) with margin, and a warm cache run starts in
+    seconds. Override/disable via BASD_BENCH_WATCHDOG_S (<=0 disables).
+    """
     import threading
 
-    budget = float(os.environ.get("BASD_BENCH_WATCHDOG_S", "2400"))
+    budget = float(os.environ.get("BASD_BENCH_WATCHDOG_S", "1200"))
     if budget <= 0:
         return
 
     def fire():
+        # FIRST (and only) stdout line under a hang: nothing else prints
+        # before the backend responds, so any artifact parser that takes
+        # the first/last line gets this self-describing error JSON.
         print(json.dumps({
             "metric": "basd_distill_throughput",
             "value": 0.0,
@@ -60,6 +69,12 @@ def _arm_watchdog() -> None:
     t = threading.Timer(budget, fire)
     t.daemon = True
     t.start()
+
+    if os.environ.get("BASD_BENCH_TEST_HANG"):
+        # test hook (tests/test_bench_contract.py): deterministically
+        # simulate a blocked backend init so the watchdog contract
+        # (error JSON + rc=3) is testable without a down tunnel
+        time.sleep(budget + 60)
 
 
 def main() -> None:
@@ -140,6 +155,10 @@ def main() -> None:
         metric = f"{metric}_teacher_{teacher_name}"
 
     if args.smoke:
+        # distinct metric name so a naive artifact parser can never
+        # ingest the CPU wiring check as a production throughput
+        # measurement (VERDICT r3 weak #5); detail.smoke stays too
+        metric = f"{metric}_smoke"
         # CPU-runnable wiring check: teacher patch/stride still divides
         # the shrunken image (dinov2 patch 14 tolerates remainders via
         # VALID conv; convnext stride 32 needs img >= 64)

