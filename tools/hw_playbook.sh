@@ -51,6 +51,10 @@ run bench_t3        1800 python bench.py
 # Table-2 (cross-arch, ConvNeXt-V2-Tiny teacher): first-ever measurement,
 # full cold compile budget.
 run bench_t2        2400 python bench.py --cross-arch
+# Literal reference Table-1 teacher (dinov2_vitl14): first-ever
+# measurement — decides whether the ViT-B/14 deviation is replaced or
+# re-justified with numbers (DESIGN.md §2).
+run bench_t1_vitl   2400 python bench.py --imagenet --teacher dinov2_vitl14
 # 4. Driver contracts.
 run entry           1200 python __graft_entry__.py
 echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="
