@@ -47,6 +47,24 @@ def eval_view(
     )
 
 
+def dual_view_eval(
+    images_u8: jax.Array,
+    *,
+    img_size: int,
+    crop_ratio: float,
+    teacher_stats: tuple,
+    dataset_stats: tuple,
+) -> tuple[jax.Array, jax.Array]:
+    """Deterministic (augmentation-off) dual view: BOTH views are the
+    eval transform; only the normalization stats differ. Used by
+    `make_train_step(augment=False)` — debugging/parity runs where the
+    stochastic train pipeline must be silenced — and by the full-step
+    trajectory parity test, which recomputes the identical views for the
+    torch reference side."""
+    base = center_crop_resize(to_float(images_u8), img_size, crop_ratio)
+    return normalize(base, *teacher_stats), normalize(base, *dataset_stats)
+
+
 def dual_view(
     images_u8: jax.Array,
     rng: jax.Array,

@@ -21,7 +21,7 @@ from basd_tpu.losses.selector import SelectorState
 from basd_tpu.models.teacher import Teacher, extract_intermediates
 from basd_tpu.ops.attention import attention_mesh
 from basd_tpu.ops.mixup import mixup_cutmix
-from basd_tpu.ops.preprocess import dual_view
+from basd_tpu.ops.preprocess import dual_view, dual_view_eval
 from basd_tpu.ops.block_kernel import block_mesh
 from basd_tpu.ops.block_train import train_block_mesh
 from basd_tpu.ops.mlp_kernel import mlp_mesh
@@ -80,12 +80,17 @@ def make_train_step(
     num_classes: int,
     subspace_k: int | None = None,
     mesh=None,
+    augment: bool = True,
 ):
     """Build (optimizer, init_fn, step_fn). step_fn is jit-compatible:
     (state, teacher_variables, images_u8 (B,H,W,3), labels (B,))
     -> (state, metrics). `mesh` (when the step runs under a multi-device
     mesh) routes the spectral Pallas kernels through a replicated shard_map
-    island — see `basd_tpu.spectral.ops.spectral_mesh`."""
+    island — see `basd_tpu.spectral.ops.spectral_mesh`. `augment=False`
+    silences every stochastic input stage (RRC/flip/TrivialAugment and
+    mixup/cutmix become the deterministic eval transform + one-hot
+    targets) so a fixed batch yields a fixed step — the parity/debug
+    mode the full-step trajectory test drives."""
     optimizer = schedule_free_adamw(
         learning_rate,
         weight_decay=weight_decay,
@@ -117,17 +122,27 @@ def make_train_step(
         # defeating donation/sharding of the frozen teacher weights.
         rng, k_view, k_mix, k_droppath = jax.random.split(state.rng, 4)
 
-        clean, augmented = dual_view(
-            images_u8,
-            k_view,
-            img_size=img_size,
-            crop_ratio=crop_ratio,
-            teacher_stats=teacher_stats,
-            dataset_stats=dataset_stats,
-        )
-        student_imgs, soft_targets = mixup_cutmix(
-            augmented, labels, k_mix, num_classes=num_classes
-        )
+        if augment:
+            clean, augmented = dual_view(
+                images_u8,
+                k_view,
+                img_size=img_size,
+                crop_ratio=crop_ratio,
+                teacher_stats=teacher_stats,
+                dataset_stats=dataset_stats,
+            )
+            student_imgs, soft_targets = mixup_cutmix(
+                augmented, labels, k_mix, num_classes=num_classes
+            )
+        else:
+            clean, student_imgs = dual_view_eval(
+                images_u8,
+                img_size=img_size,
+                crop_ratio=crop_ratio,
+                teacher_stats=teacher_stats,
+                dataset_stats=dataset_stats,
+            )
+            soft_targets = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
 
         teacher_tokens, teacher_importance = extract_intermediates(
             teacher._replace(variables=teacher_variables), clean

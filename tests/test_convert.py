@@ -219,100 +219,10 @@ class TestGoldenTorchParity:
     importance / pooled features must match our Flax teacher in fp32."""
 
     def _torch_twin(self, cfg: ViTConfig):
-        import torch
-        import torch.nn as nn_t
+        # shared with tests/test_full_step_parity.py
+        from torch_twin import make_torch_twin
 
-        class Attn(nn_t.Module):
-            def __init__(self):
-                super().__init__()
-                d = cfg.embed_dim
-                self.num_heads = cfg.num_heads
-                self.qkv = nn_t.Linear(d, 3 * d)
-                self.proj = nn_t.Linear(d, d)
-
-            def forward(self, x):
-                b, n, d = x.shape
-                h = self.num_heads
-                hd = d // h
-                qkv = (
-                    self.qkv(x)
-                    .reshape(b, n, 3, h, hd)
-                    .permute(2, 0, 3, 1, 4)
-                )
-                q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
-                attn = (q @ k.transpose(-2, -1) * hd**-0.5).softmax(-1)
-                imp = attn[:, :, 0, 1:].mean(1)  # CLS row, mean over heads
-                out = (attn @ v).transpose(1, 2).reshape(b, n, d)
-                return self.proj(out), imp
-
-        class LayerScale(nn_t.Module):
-            # DINOv2 naming: module `ls1`/`ls2`, parameter `gamma`
-            def __init__(self, d, init):
-                super().__init__()
-                self.gamma = nn_t.Parameter(init * torch.ones(d))
-
-            def forward(self, x):
-                return x * self.gamma
-
-        class Block(nn_t.Module):
-            def __init__(self):
-                super().__init__()
-                d = cfg.embed_dim
-                hidden = int(d * cfg.mlp_ratio)
-                self.norm1 = nn_t.LayerNorm(d, eps=1e-6)
-                self.attn = Attn()
-                if cfg.layer_scale_init is not None:
-                    self.ls1 = LayerScale(d, cfg.layer_scale_init)
-                    self.ls2 = LayerScale(d, cfg.layer_scale_init)
-                else:
-                    self.ls1 = self.ls2 = nn_t.Identity()
-                self.norm2 = nn_t.LayerNorm(d, eps=1e-6)
-                self.mlp = nn_t.Sequential()
-                self.mlp.fc1 = nn_t.Linear(d, hidden)
-                self.mlp.act = nn_t.GELU()
-                self.mlp.fc2 = nn_t.Linear(hidden, d)
-
-            def forward(self, x):
-                y, imp = self.attn(self.norm1(x))
-                x = x + self.ls1(y)
-                x = x + self.ls2(
-                    self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
-                )
-                return x, imp
-
-        class ViT(nn_t.Module):
-            def __init__(self):
-                super().__init__()
-                d = cfg.embed_dim
-                self.patch_embed = nn_t.Sequential()
-                self.patch_embed.proj = nn_t.Conv2d(
-                    3, d, cfg.patch_size, stride=cfg.patch_size
-                )
-                self.cls_token = nn_t.Parameter(torch.randn(1, 1, d))
-                self.pos_embed = nn_t.Parameter(
-                    torch.randn(1, cfg.num_patches + 1, d) * 0.02
-                )
-                self.blocks = nn_t.ModuleList(
-                    Block() for _ in range(cfg.depth)
-                )
-                self.norm = nn_t.LayerNorm(d, eps=1e-6)
-
-            def forward(self, x):
-                b = x.shape[0]
-                x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
-                x = torch.cat(
-                    [self.cls_token.expand(b, -1, -1), x], dim=1
-                )
-                x = x + self.pos_embed
-                tokens, imps = [], []
-                for blk in self.blocks:
-                    x, imp = blk(x)
-                    tokens.append(x[:, 1:])
-                    imps.append(imp)
-                x = self.norm(x)
-                return x[:, 0], tokens, imps
-
-        return ViT()
+        return make_torch_twin(cfg)
 
     def test_layerwise_activation_parity(self, tmp_path):
         import torch
