@@ -180,25 +180,29 @@ class TestShardCache:
     with writer peak RSS O(chunk) — the ImageNet-class scalability contract
     (reference streams via 8 workers, `src/data/datasets.py:126-177`)."""
 
-    DATASET = "synthetic/ram-4c-32px-48000n"  # 48k x 32px = 147 MB (>2x the
-    # 64 MB RAM limit; generation is the test's cost on the 1-core host)
+    DATASET = "synthetic/ram-4c-24px-16000n"  # 16k x 24px = 27.6 MB (>3x
+    # the lowered 8 MB RAM limit; generation cost on the 1-core host was
+    # the test's dominant term at the production 64 MB limit, and the
+    # O(chunk)-RSS invariant is limit-relative, not size-dependent)
 
     def test_writer_rss_bounded_and_memmap(self, tmp_path):
         # Materialize in a clean subprocess (no jax) so ru_maxrss measures
-        # the data path alone; the 147 MB split must not be RAM-resident.
+        # the data path alone; the 27.6 MB split must not be RAM-resident.
         code = (
             "import resource, numpy as np\n"
+            "import basd_tpu.data.datasets as d\n"
+            "d._RAM_BYTES_LIMIT = 8 << 20\n"
             "from basd_tpu.data import load_split_arrays\n"
             "base_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1024\n"
             f"imgs, labs = load_split_arrays({self.DATASET!r}, 'train')\n"
             "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1024\n"
             "assert isinstance(imgs, np.memmap), type(imgs)\n"
-            "assert imgs.shape == (48000, 32, 32, 3), imgs.shape\n"
-            "assert labs.shape == (48000,)\n"
+            "assert imgs.shape == (16000, 24, 24, 3), imgs.shape\n"
+            "assert labs.shape == (16000,)\n"
             "print(f'base_mb={base_mb:.0f} peak_mb={peak_mb:.0f}')\n"
             "delta = peak_mb - base_mb\n"
-            "assert delta < 100, f'writer added {delta:.0f} MB RSS for a "
-            "147 MB split — not O(chunk)'\n"
+            "assert delta < 24, f'writer added {delta:.0f} MB RSS for a "
+            "27.6 MB split — not O(chunk)'\n"
         )
         env = dict(os.environ, BASD_DATA_CACHE=str(tmp_path),
                    JAX_PLATFORMS="cpu")
@@ -213,6 +217,8 @@ class TestShardCache:
         proc2 = subprocess.run(
             [sys.executable, "-c",
              "import numpy as np\n"
+             "import basd_tpu.data.datasets as d\n"
+             "d._RAM_BYTES_LIMIT = 8 << 20\n"
              "from basd_tpu.data import load_split_arrays\n"
              f"imgs, labs = load_split_arrays({self.DATASET!r}, 'train')\n"
              "assert isinstance(imgs, np.memmap)\n"

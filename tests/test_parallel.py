@@ -162,11 +162,16 @@ class TestDPTPEquivalence:
         labs = jax.device_put(labels, batch_sharding(mesh))
         return step(state_sh, tvars, imgs, labs)
 
+    @pytest.mark.slow
     def test_dp8_matches_single(self):
         # one build + one (single, dp8) compile pair asserts BOTH the
         # metric equivalence and the updated-state equivalence (merged
         # from a second seed-3 test: each extra pair costs ~25 s of
-        # trace+compile on the 1-core CPU mesh)
+        # trace+compile on the 1-core CPU mesh). Slow-marked (round-4
+        # suite budget): the driver's dryrun_multichip(8) contract runs
+        # a DP4xTP2 step every round with its loss pinned to 4 decimals,
+        # so default selection keeps multi-device coverage through that
+        # pin while the full equivalence battery lives in `slow`.
         built = _build(seed=1)
         s_single, m_single = self._run(None, *built)
         s_dp, m_dp = self._run({"data": 8, "model": 1}, *built)
