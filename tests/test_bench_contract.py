@@ -57,6 +57,35 @@ def test_bench_smoke_json_contract():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("arm,metric", [
+    ("--imagenet", "vit_small_imagenet_basd_distill_throughput_smoke"),
+    ("--cross-arch", "vit_tiny_cross_arch_basd_distill_throughput_smoke"),
+])
+def test_bench_table_arm_smoke_contract(arm, metric):
+    """Table-1/Table-2 arm staging must survive offline: the hardware
+    playbook's most expensive failure mode is discovering a staging bug
+    only once the tunnel is up (round-3: both arms have never run on
+    hardware, so this wiring check is their only regression net)."""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        BASD_BENCH_WATCHDOG_S="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(_ROOT / "bench.py"), arm, "--smoke"],
+        env=env, cwd=_ROOT, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["metric"] == metric
+    assert out["detail"]["smoke"] is True
+    import numpy as np
+
+    assert np.isfinite(out["detail"]["loss"])
+
+
+@pytest.mark.slow
 def test_bench_watchdog_emits_error_json():
     """A blocked backend must yield a parseable error JSON with rc=3,
     never a bare timeout (VERDICT r3: BENCH_r03 was rc=124/parsed=null
