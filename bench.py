@@ -56,14 +56,28 @@ def _arm_watchdog() -> None:
         # FIRST (and only) stdout line under a hang: nothing else prints
         # before the backend responds, so any artifact parser that takes
         # the first/last line gets this self-describing error JSON.
-        print(json.dumps({
+        # If a mid-round hardware window produced committed measured
+        # artifacts (BENCH_MEASURED_*.json at the repo root), point the
+        # reader at them — an outage at round end must not hide a real
+        # measurement taken hours earlier.
+        import glob
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        measured = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(root, "BENCH_MEASURED_*.json"))
+        )
+        payload = {
             "metric": "basd_distill_throughput",
             "value": 0.0,
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "error": f"watchdog: hardware unresponsive after {budget:.0f}s "
                      "(axon tunnel down?) — no measurement taken",
-        }), flush=True)
+        }
+        if measured:
+            payload["detail"] = {"builder_measured_artifacts": measured}
+        print(json.dumps(payload), flush=True)
         os._exit(3)
 
     t = threading.Timer(budget, fire)

@@ -57,4 +57,17 @@ run bench_t2        2400 python bench.py --cross-arch
 run bench_t1_vitl   2400 python bench.py --imagenet --teacher dinov2_vitl14
 # 4. Driver contracts.
 run entry           1200 python __graft_entry__.py
+
+# 5. Deposit each bench arm's measured JSON line at the repo root as a
+#    committable artifact (BENCH_MEASURED_<arm>.json). bench.py's
+#    watchdog error JSON cites these, so an outage at round end cannot
+#    hide a measurement taken during this hardware window.
+for arm in bench_t3 bench_t1 bench_t2 bench_t1_vitl; do
+  [ -f "$OUT/$arm.log" ] || continue
+  line=$(grep -m1 '^{.*"metric"' "$OUT/$arm.log" || true)
+  if [ -n "$line" ] && ! printf '%s' "$line" | grep -q '"error"'; then
+    printf '%s\n' "$line" > "BENCH_MEASURED_$arm.json"
+    echo "deposited BENCH_MEASURED_$arm.json"
+  fi
+done
 echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="
