@@ -353,10 +353,15 @@ class TestSubspaceKernel:
         # CPU test env: auto falls back to XLA
         assert not _use_subspace_kernel((13, 384, 384), 200)
 
+    @pytest.mark.slow
     def test_selector_through_kernel_island(self, monkeypatch):
         """select_and_mix with the fused teacher-subspace path under the
         8-device mesh (replicated shard_map island) must match the XLA
-        path's mixing weights."""
+        path's mixing weights.
+
+        Slow-marked (suite budget): value parity rides the default-selection
+        test_matches_xla_iteration; this adds only the mesh-island wiring,
+        which interpret-mode emulation makes ~20 s on the 1-core host."""
         from basd_tpu.losses import init_selector
         from basd_tpu.losses.selector import select_and_mix
         from basd_tpu.parallel.mesh import create_mesh
@@ -416,7 +421,11 @@ class TestNsSqrtPairKernel:
                 atol=1e-3 * float(jnp.abs(b).max()),
             )
 
+    @pytest.mark.slow
     def test_procrustes_through_kernel(self, monkeypatch):
+        # Slow-marked (suite budget): value+grad parity rides the
+        # default-selection test_value_and_grad_match_xla; this adds only
+        # the procrustes_loss consumer wiring in interpret mode (~13 s).
         from basd_tpu.losses.procrustes import procrustes_loss
 
         rng = np.random.default_rng(41)
