@@ -21,7 +21,12 @@ run() { # run <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0. Kernel smoke first: an un-Mosaic-compilable kernel must be caught
+# 0a. Grab the Table-3 headline FIRST: its XLA binaries are already in
+#     the persistent cache from round 3, so a warm run lands in minutes —
+#     if the tunnel window turns out to be short, the round still gets a
+#     measured driver-arm artifact (re-measured properly at step 3).
+run bench_t3_first  1500 python bench.py
+# 0b. Kernel smoke: an un-Mosaic-compilable kernel must be caught
 #    before any full-shape probe (self-healing covers bench/entry only).
 run smoke            900 python tools/smoke_kernels.py
 # 1. Outage-built kernels, isolated A/Bs (DESIGN.md §7 day-3 pending).
@@ -62,12 +67,17 @@ run entry           1200 python __graft_entry__.py
 #    committable artifact (BENCH_MEASURED_<arm>.json). bench.py's
 #    watchdog error JSON cites these, so an outage at round end cannot
 #    hide a measurement taken during this hardware window.
-for arm in bench_t3 bench_t1 bench_t2 bench_t1_vitl; do
+#    Later entries overwrite earlier ones for the same artifact, so the
+#    early warm-cache bench_t3_first run only survives if the main
+#    bench_t3 run produced no JSON.
+for pair in bench_t3_first:bench_t3 bench_t3:bench_t3 bench_t1:bench_t1 \
+            bench_t2:bench_t2 bench_t1_vitl:bench_t1_vitl; do
+  arm=${pair%%:*}; dest=${pair##*:}
   [ -f "$OUT/$arm.log" ] || continue
   line=$(grep -m1 '^{.*"metric"' "$OUT/$arm.log" || true)
   if [ -n "$line" ] && ! printf '%s' "$line" | grep -q '"error"'; then
-    printf '%s\n' "$line" > "BENCH_MEASURED_$arm.json"
-    echo "deposited BENCH_MEASURED_$arm.json"
+    printf '%s\n' "$line" > "BENCH_MEASURED_$dest.json"
+    echo "deposited BENCH_MEASURED_$dest.json (from $arm)"
   fi
 done
 echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="

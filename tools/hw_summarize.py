@@ -98,12 +98,16 @@ def main() -> int:
     print()
 
     print("-- bench arms --")
-    for name in ("bench_t3", "bench_t1", "bench_t2", "bench_t1_vitl"):
+    for name in ("bench_t3_first", "bench_t3", "bench_t1", "bench_t2",
+                 "bench_t1_vitl"):
         j = parse_bench_json(out / f"{name}.log")
         if j is None:
             log = out / f"{name}.log"
             print(f"{name}: "
                   + ("no JSON line" if log.exists() else "missing"))
+            continue
+        if "error" in j:
+            print(f"{name}: ERROR — {j['error']}")
             continue
         det = j.get("detail", {})
         print(
