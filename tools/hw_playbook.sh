@@ -30,6 +30,10 @@ run bench_t3_first  1500 python bench.py
 #    before any full-shape probe (self-healing covers bench/entry only).
 run smoke            900 python tools/smoke_kernels.py
 # 1. Outage-built kernels, isolated A/Bs (DESIGN.md §7 day-3 pending).
+#    Warp kernel hardware parity re-check: production ships it, and this
+#    exact producer chain once exposed an XLA:TPU miscompile
+#    (probe_warp_parity8.py) — cheap insurance on every hardware return.
+run warp             900 python tools/probe_warp_kernel.py
 run block_kernel    1200 python tools/probe_block_kernel.py
 run block_train     1200 python tools/probe_block_train.py
 run dualview        1200 python tools/probe_dualview.py
