@@ -121,6 +121,24 @@ class TestFusedAttention:
             np.asarray(got), np.asarray(want), atol=1e-6
         )
 
+    def test_island_dispatch_tp_indivisible_falls_back(self):
+        """tp=2 with 3 heads: a model-axis shard would split a head, so
+        fused_attention_sharded must route to the XLA chain (not trace
+        the kernel into an out-of-bounds lane slice — ADVICE r3)."""
+        from basd_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data=4, model=2)
+        q, k, v = _make(8, 17, 3 * 8, seed=3)
+        want = oracle(q, k, v, 8)
+
+        with attention_mesh(mesh):
+            got = jax.jit(
+                lambda q, k, v: fused_attention_sharded(q, k, v, 8, True)
+            )(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-6
+        )
+
     def test_model_level_fused_parity(self, monkeypatch):
         """Full ViT forward with BASD_TPU_ATTENTION=fused_interpret must
         match the XLA chain (logits, captured tokens, importance)."""
