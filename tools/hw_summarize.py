@@ -58,7 +58,10 @@ def profile_delta_table(out: Path, base_name: str, fused_name: str) -> str:
     if not base and not fused:
         return f"  (no {base_name}/{fused_name} logs)\n"
     rows = [f"  {'stage':<24} {'auto ms':>9} {'fused ms':>9} {'delta':>8}"]
-    for stage in base.keys() | fused.keys():
+    # Keep the auto-arm's print order (profile_step.py stage order), then
+    # any fused-only stages — set iteration order is nondeterministic.
+    stages = list(base) + [s for s in fused if s not in base]
+    for stage in stages:
         b, f = base.get(stage), fused.get(stage)
         d = f"{f - b:+8.2f}" if (b is not None and f is not None) else "       ?"
         rows.append(
