@@ -80,8 +80,27 @@ for pair in bench_t3_first:bench_t3 bench_t3:bench_t3 bench_t1:bench_t1 \
   [ -f "$OUT/$arm.log" ] || continue
   line=$(grep -m1 '^{.*"metric"' "$OUT/$arm.log" || true)
   if [ -n "$line" ] && ! printf '%s' "$line" | grep -q '"error"'; then
-    printf '%s\n' "$line" > "BENCH_MEASURED_$dest.json"
-    echo "deposited BENCH_MEASURED_$dest.json (from $arm)"
+    # Stamp measurement provenance (git rev + UTC time + playbook arm) so
+    # a later reader can tell which code the number belongs to. Write via
+    # a temp file: a failed stamp must not truncate an existing artifact.
+    if python - "$arm" "$line" > "$OUT/$dest.json.tmp" <<'PY'
+import json, subprocess, sys, time
+j = json.loads(sys.argv[2])
+rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                     capture_output=True, text=True).stdout.strip()
+j["provenance"] = {
+    "measured_at": time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime()),
+    "git_rev_at_measurement": rev or "unknown",
+    "note": f"tools/hw_playbook.sh arm '{sys.argv[1]}' on the real axon TPU chip",
+}
+print(json.dumps(j))
+PY
+    then
+      mv "$OUT/$dest.json.tmp" "BENCH_MEASURED_$dest.json"
+      echo "deposited BENCH_MEASURED_$dest.json (from $arm)"
+    else
+      echo "provenance stamp FAILED for $arm; artifact left untouched"
+    fi
   fi
 done
 echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="
