@@ -321,8 +321,16 @@ def _iter_synthetic_chunks(dataset_name: str, split: str):
     rng = np.random.default_rng(0 if split == "train" else 1)
     labels = rng.integers(0, c, size=(n,))
     pats = _synthetic_class_patterns(c, s)
-    for lo in range(0, n, _SYNTH_CHUNK):
-        lab = labels[lo : lo + _SYNTH_CHUNK]
+    # Chunk rows scale with the RAM limit: generation holds ~4 float64
+    # temporaries of chunk size live at peak (noise, sum, *255, clip), so a
+    # fixed 1024-row chunk would make writer RSS O(1024 imgs) even under a
+    # small _RAM_BYTES_LIMIT — breaking the limit-relative O(chunk) RSS
+    # contract the shard-cache test pins. Output bytes are chunk-size
+    # independent (see docstring), so this only bounds memory.
+    f64_row = s * s * 3 * 8
+    rows = int(min(_SYNTH_CHUNK, max(64, _RAM_BYTES_LIMIT // (4 * f64_row))))
+    for lo in range(0, n, rows):
+        lab = labels[lo : lo + rows]
         img = pats[lab] + rng.normal(0, 0.08, size=(len(lab), s, s, 3))
         yield (
             np.clip(img * 255.0, 0, 255).astype(np.uint8),

@@ -112,6 +112,7 @@ def test_main_summarizes_mixed_dir(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "-24.30" in out                      # delta table rendered
     assert "xla block fwd" in out               # probe timings rendered
+    assert "warp:" in out                       # every playbook probe listed
     assert "step=386.9 ms" in out               # bench arm headline
     assert "bench_t2: ERROR — watchdog fired" in out
     assert "bench_t3: missing" in out           # absent arm flagged

@@ -25,7 +25,7 @@ run() { # run <name> <timeout_s> <cmd...>
 #     the persistent cache from round 3, so a warm run lands in minutes —
 #     if the tunnel window turns out to be short, the round still gets a
 #     measured driver-arm artifact (re-measured properly at step 3).
-run bench_t3_first  1500 python bench.py
+run bench_t3_first  1500 env BASD_BENCH_WATCHDOG_S=1380 python bench.py
 # 0b. Kernel smoke: an un-Mosaic-compilable kernel must be caught
 #    before any full-shape probe (self-healing covers bench/entry only).
 run smoke            900 python tools/smoke_kernels.py
@@ -55,15 +55,15 @@ run profile_t3_fused 1800 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
     BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
     python tools/profile_step.py --only dual_view,teacher,student,selector
 # 3. Headlines.
-run bench_t1        2400 python bench.py --imagenet
-run bench_t3        1800 python bench.py
+run bench_t1        2400 env BASD_BENCH_WATCHDOG_S=2280 python bench.py --imagenet
+run bench_t3        1800 env BASD_BENCH_WATCHDOG_S=1680 python bench.py
 # Table-2 (cross-arch, ConvNeXt-V2-Tiny teacher): first-ever measurement,
 # full cold compile budget.
-run bench_t2        2400 python bench.py --cross-arch
+run bench_t2        2400 env BASD_BENCH_WATCHDOG_S=2280 python bench.py --cross-arch
 # Literal reference Table-1 teacher (dinov2_vitl14): first-ever
 # measurement — decides whether the ViT-B/14 deviation is replaced or
 # re-justified with numbers (DESIGN.md §2).
-run bench_t1_vitl   2400 python bench.py --imagenet --teacher dinov2_vitl14
+run bench_t1_vitl   2400 env BASD_BENCH_WATCHDOG_S=2280 python bench.py --imagenet --teacher dinov2_vitl14
 # 4. Driver contracts.
 run entry           1200 python __graft_entry__.py
 

@@ -87,7 +87,7 @@ def main() -> int:
     print(profile_delta_table(out, "profile_t3", "profile_t3_fused"))
 
     print("-- isolated probes --")
-    for name in ("smoke", "block_kernel", "block_train", "dualview",
+    for name in ("smoke", "warp", "block_kernel", "block_train", "dualview",
                  "selector", "loss_tail"):
         t = parse_timings(out / f"{name}.log")
         if t:
