@@ -1,0 +1,53 @@
+"""Offline staging checks for the hardware-playbook probes.
+
+Every probe tools/hw_playbook.sh runs supports BASD_PROBE_SMOKE=1: tiny
+shapes, interpret-mode Pallas kernels off-TPU — the probe's FULL code
+path executes on CPU. A staging regression (import error, shape bug,
+renamed symbol) is caught here instead of burning a hardware-window
+slot. Slow: each probe is a fresh subprocess (jax import + compiles);
+probe_loss_tail inits the full ViT-B/14 teacher (~3 min on this host).
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+PLAYBOOK_PROBES = (
+    "probe_warp_kernel.py",
+    "probe_block_kernel.py",
+    "probe_block_train.py",
+    "probe_dualview.py",
+    "probe_selector_internals.py",
+    "probe_loss_tail.py",
+)
+
+
+def test_playbook_runs_every_smoke_probe():
+    """Each smoke-checked probe must actually be a playbook arm (and the
+    list must not rot as probes are added/pruned)."""
+    playbook = (REPO / "tools" / "hw_playbook.sh").read_text()
+    for probe in PLAYBOOK_PROBES:
+        assert f"tools/{probe}" in playbook, probe
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("probe", PLAYBOOK_PROBES)
+def test_probe_smoke_executes(probe):
+    env = dict(
+        os.environ,
+        BASD_PROBE_SMOKE="1",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="",  # single CPU device is enough; drop any mesh forcing
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / probe)],
+        env=env, capture_output=True, text=True, timeout=540, cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        probe + "\n" + proc.stdout[-2000:] + proc.stderr[-2000:]
+    )

@@ -46,7 +46,12 @@ def slope(fn, *args, n=12):
 
 
 def main():
-    b, n, d, h = 256, 257, 768, 12
+    # BASD_PROBE_SMOKE=1: tiny shapes + interpret-mode kernels off-TPU, so
+    # the probe's full code path executes offline (timings meaningless).
+    smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
+    fused = ("fused_interpret"
+             if smoke and jax.default_backend() != "tpu" else "fused")
+    b, n, d, h = (4, 17, 64, 2) if smoke else (256, 257, 768, 12)
     block = Block(d, h, 4.0, 0.0, True, jnp.bfloat16, layer_scale_init=1e-5)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((b, n, d)) * 0.5, jnp.bfloat16)
@@ -58,8 +63,8 @@ def main():
     outs = {}
     for tag, env in (
         ("xla+attnkernel", {"BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": "xla"}),
-        ("xla+mlpkernel ", {"BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": "fused"}),
-        ("blockkernel   ", {"BASD_TPU_BLOCK": "fused", "BASD_TPU_MLP": "xla"}),
+        ("xla+mlpkernel ", {"BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": fused}),
+        ("blockkernel   ", {"BASD_TPU_BLOCK": fused, "BASD_TPU_MLP": "xla"}),
     ):
         os.environ.update(env)
         f = jax.jit(lambda p, x: block.apply({"params": p}, x, True))

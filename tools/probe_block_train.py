@@ -45,7 +45,7 @@ def slope(f, *args, n=16):
     return (t_big - t_small) / n * 1e3
 
 
-def probe(tag, b, n, d, heads):
+def probe(tag, b, n, d, heads, interp=False):
     hd = d // heads
     block = Block(d, heads, 4.0, 0.0, True, jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -58,7 +58,7 @@ def probe(tag, b, n, d, heads):
     ones = jnp.ones((b,), jnp.float32)
 
     def loss_fused(p, xx):
-        out, _ = fused_block_train(xx, p, ones, ones, hd, 1.0, 1.0, False)
+        out, _ = fused_block_train(xx, p, ones, ones, hd, 1.0, 1.0, interp)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
     def loss_xla(p, xx):
@@ -91,6 +91,13 @@ def probe(tag, b, n, d, heads):
 
 
 def main():
+    # BASD_PROBE_SMOKE=1: one tiny-shape pass with interpret-mode kernels
+    # off-TPU — full offline execution of the probe's code path, so a
+    # staging regression can't burn a hardware-window slot.
+    if os.environ.get("BASD_PROBE_SMOKE") == "1":
+        probe("smoke  (  4, 17, 64,h2)", 4, 17, 64, 2,
+              interp=jax.default_backend() != "tpu")
+        return
     probe("table1 (256,197,384,h6)", 256, 197, 384, 6)
     probe("table3 (128, 65,192,h3)", 128, 65, 192, 3)
 

@@ -4,6 +4,7 @@ out 224px): which augment stage dominates the 55 ms? Slope-timed.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
@@ -52,7 +53,10 @@ def slope(fn, args, n1=6, n2=18):
 
 
 def main():
-    b, raw, img = 256, 256, 224
+    # BASD_PROBE_SMOKE=1: tiny shapes, production dispatch ('auto' falls
+    # back to XLA off-TPU) — full offline execution of the code path.
+    smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
+    b, raw, img = (4, 40, 32) if smoke else (256, 256, 224)
     rng = np.random.default_rng(0)
     u8 = jnp.asarray((rng.random((b, raw, raw, 3)) * 255).astype(np.uint8))
     x = jnp.asarray(rng.random((b, img, img, 3)).astype(np.float32))

@@ -47,7 +47,14 @@ def timeit(f, *args, n=8):
 
 
 def main():
-    img_size, batch, num_classes = 224, 256, 1000
+    # BASD_PROBE_SMOKE=1: tiny shapes + interpret-mode kernels off-TPU —
+    # full offline execution of the probe's code path (timings meaningless).
+    import os
+
+    smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
+    fused = ("fused_interpret"
+             if smoke and jax.default_backend() != "tpu" else "fused")
+    img_size, batch, num_classes = (56, 4, 16) if smoke else (224, 256, 1000)
     teacher = load_teacher("dinov2_vitb14", img_size=img_size,
                            dtype=jnp.bfloat16)
     points = extraction_points(12, 4)
@@ -75,7 +82,7 @@ def main():
     onehot = jax.nn.one_hot(
         jnp.asarray(rng.integers(0, num_classes, batch)), num_classes)
 
-    K = 192  # bench.py --imagenet calibrated subspace_k
+    K = 8 if smoke else 192  # bench.py --imagenet calibrated subspace_k
     f_sel = jax.jit(lambda sel, s, t, ti: select_and_mix(
         sel, s, t, ti, subspace_k=K)[0])
     print(f"selector fwd:        {timeit(f_sel, selector, s_tok, t_tok, t_imp):7.2f} ms",
@@ -98,13 +105,11 @@ def main():
           flush=True)
 
     # env-gated A/Bs (trace-time policies; fresh jits per setting)
-    import os
-
     for env, vals in (
         ("BASD_TPU_MIX_DTYPE", ("f32", "bf16")),
         ("BASD_TPU_STUDENT_BASIS", ("iter", "eigh")),
         # 'auto' keeps unmeasured kernels on XLA; force 'fused' to A/B
-        ("BASD_TPU_NSPG", ("fused", "xla")),
+        ("BASD_TPU_NSPG", (fused, "xla")),
     ):
         for val in vals:
             os.environ[env] = val

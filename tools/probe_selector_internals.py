@@ -13,6 +13,7 @@ auto-calibrated K~200). Slope-timed per component:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
@@ -61,9 +62,17 @@ def slope(fn, args, n1=6, n2=18):
 
 
 def main():
-    l_t, b, n_t, d_t = 12, 256, 257, 768
-    p, n_s, d_s = 4, 197, 384
-    k = 200
+    # BASD_PROBE_SMOKE=1: tiny shapes + interpret-mode kernels off-TPU —
+    # full offline execution of the probe's code path (timings meaningless).
+    smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
+    if smoke:
+        l_t, b, n_t, d_t = 3, 4, 17, 48
+        p, n_s, d_s = 2, 10, 24
+        k = 8
+    else:
+        l_t, b, n_t, d_t = 12, 256, 257, 768
+        p, n_s, d_s = 4, 197, 384
+        k = 200
     rng = np.random.default_rng(0)
 
     t_tokens = jnp.asarray(
@@ -102,9 +111,9 @@ def main():
 
     # fused forward-only subspace-iteration kernel vs the XLA chain
     # ('auto' keeps the unmeasured kernel on XLA; force it for the A/B)
-    import os
-
-    os.environ["BASD_TPU_SUBSPACE"] = "fused"
+    os.environ["BASD_TPU_SUBSPACE"] = (
+        "fused_interpret"
+        if smoke and jax.default_backend() != "tpu" else "fused")
     from basd_tpu.spectral import topk_basis_gram_nograd
     from basd_tpu.spectral.ops import centered_gram
 

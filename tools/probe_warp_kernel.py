@@ -1,9 +1,14 @@
 """Isolated A/B of the fused Pallas warp kernel vs the XLA tap-sweep path
 at the Table-1 augment shape (B=256, 224 px). Slope-timed on the real
-chip; also checks numerics parity between the two compiled paths."""
+chip; also checks numerics parity between the two compiled paths.
+
+BASD_PROBE_SMOKE=1 shrinks shapes and runs the kernel in interpret mode
+off-TPU: a full offline execution of the probe's code path, so a staging
+regression can't burn a hardware-window slot (timings meaningless)."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -44,7 +49,9 @@ def slope(fn, args, n1=6, n2=18):
 
 
 def main():
-    b, n = 256, 224
+    smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
+    interp = smoke and jax.default_backend() != "tpu"
+    b, n = (8, 32) if smoke else (256, 224)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((b, n, n, 3)).astype(np.float32))
     # realistic TrivialAugment param mix: 5/14 geometric, one op each
@@ -69,7 +76,8 @@ def main():
                          out[:, :, ::-1, :], out)
 
     def fused_path(x, angle, shx, shy, tx, ty):
-        return fused_geometric_warp(x, angle, shx, shy, tx, ty, A(flip))
+        return fused_geometric_warp(x, angle, shx, shy, tx, ty, A(flip),
+                                    interpret=interp)
 
     w = np.asarray(jax.jit(xla_path)(*args))
     g = np.asarray(jax.jit(fused_path)(*args))
