@@ -58,8 +58,12 @@ def test_bench_smoke_json_contract():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("arm,metric", [
-    ("--imagenet", "vit_small_imagenet_basd_distill_throughput_smoke"),
-    ("--cross-arch", "vit_tiny_cross_arch_basd_distill_throughput_smoke"),
+    (("--imagenet",), "vit_small_imagenet_basd_distill_throughput_smoke"),
+    (("--cross-arch",), "vit_tiny_cross_arch_basd_distill_throughput_smoke"),
+    # literal reference-Table-1 teacher (playbook arm bench_t1_vitl)
+    (("--imagenet", "--teacher", "dinov2_vitl14"),
+     "vit_small_imagenet_basd_distill_throughput_teacher_dinov2_vitl14"
+     "_smoke"),
 ])
 def test_bench_table_arm_smoke_contract(arm, metric):
     """Table-1/Table-2 arm staging must survive offline: the hardware
@@ -73,7 +77,7 @@ def test_bench_table_arm_smoke_contract(arm, metric):
         BASD_BENCH_WATCHDOG_S="0",
     )
     proc = subprocess.run(
-        [sys.executable, str(_ROOT / "bench.py"), arm, "--smoke"],
+        [sys.executable, str(_ROOT / "bench.py"), *arm, "--smoke"],
         env=env, cwd=_ROOT, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
