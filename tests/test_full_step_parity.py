@@ -21,6 +21,7 @@ weighting, selector mixing, Procrustes, ScheduleFree y/z/x bookkeeping,
 weight decay placement — shows up as trajectory divergence here.
 """
 
+import os
 import sys
 from pathlib import Path
 from types import SimpleNamespace
@@ -39,7 +40,10 @@ pytestmark = [
 if _REFERENCE.is_dir() and str(_REFERENCE) not in sys.path:
     sys.path.insert(0, str(_REFERENCE))
 
-STEPS = 20
+# BASD_PARITY_STEPS extends the horizon for one-off evidence runs (the
+# 20-step default is the pinned regression net; measured extended-horizon
+# results live in docs/DESIGN.md §8).
+STEPS = int(os.environ.get("BASD_PARITY_STEPS", "20"))
 # LR chosen to keep the dynamics out of the chaotic steep-descent regime:
 # at 3e-3 both sides drop 5.1 -> 1.0 in ~7 steps and the ~1e-4 loss-eval
 # noise floor (Newton-Schulz nuclear norm vs torch svdvals) amplifies to
