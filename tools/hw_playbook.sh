@@ -21,11 +21,19 @@ run() { # run <name> <timeout_s> <cmd...>
   fi
 }
 
+run_bench() { # run_bench <name> <timeout_s> <bench.py args...>
+  # bench's internal watchdog fires 120 s inside the arm's timeout, so a
+  # slow cold compile yields bench's own error JSON instead of SIGKILL
+  # (and a timeout edit can never desync the watchdog).
+  local name=$1 t=$2; shift 2
+  run "$name" "$t" env "BASD_BENCH_WATCHDOG_S=$((t - 120))" python bench.py "$@"
+}
+
 # 0a. Grab the Table-3 headline FIRST: its XLA binaries are already in
 #     the persistent cache from round 3, so a warm run lands in minutes —
 #     if the tunnel window turns out to be short, the round still gets a
 #     measured driver-arm artifact (re-measured properly at step 3).
-run bench_t3_first  1500 env BASD_BENCH_WATCHDOG_S=1380 python bench.py
+run_bench bench_t3_first  1500
 # 0b. Kernel smoke: an un-Mosaic-compilable kernel must be caught
 #    before any full-shape probe (self-healing covers bench/entry only).
 run smoke            900 python tools/smoke_kernels.py
@@ -55,15 +63,15 @@ run profile_t3_fused 1800 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
     BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
     python tools/profile_step.py --only dual_view,teacher,student,selector
 # 3. Headlines.
-run bench_t1        2400 env BASD_BENCH_WATCHDOG_S=2280 python bench.py --imagenet
-run bench_t3        1800 env BASD_BENCH_WATCHDOG_S=1680 python bench.py
+run_bench bench_t1        2400 --imagenet
+run_bench bench_t3        1800
 # Table-2 (cross-arch, ConvNeXt-V2-Tiny teacher): first-ever measurement,
 # full cold compile budget.
-run bench_t2        2400 env BASD_BENCH_WATCHDOG_S=2280 python bench.py --cross-arch
+run_bench bench_t2        2400 --cross-arch
 # Literal reference Table-1 teacher (dinov2_vitl14): first-ever
 # measurement — decides whether the ViT-B/14 deviation is replaced or
 # re-justified with numbers (DESIGN.md §2).
-run bench_t1_vitl   2400 env BASD_BENCH_WATCHDOG_S=2280 python bench.py --imagenet --teacher dinov2_vitl14
+run_bench bench_t1_vitl   2400 --imagenet --teacher dinov2_vitl14
 # 4. Driver contracts.
 run entry           1200 python __graft_entry__.py
 

@@ -6,6 +6,7 @@ already covers. Also times one optax update on the real param tree."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -49,8 +50,6 @@ def timeit(f, *args, n=8):
 def main():
     # BASD_PROBE_SMOKE=1: tiny shapes + interpret-mode kernels off-TPU —
     # full offline execution of the probe's code path (timings meaningless).
-    import os
-
     smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
     fused = ("fused_interpret"
              if smoke and jax.default_backend() != "tpu" else "fused")
