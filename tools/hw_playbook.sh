@@ -27,6 +27,30 @@ run_bench() { # run_bench <name> <timeout_s> <bench.py args...>
   # (and a timeout edit can never desync the watchdog).
   local name=$1 t=$2; shift 2
   run "$name" "$t" env "BASD_BENCH_WATCHDOG_S=$((t - 120))" python bench.py "$@"
+  # Deposit IMMEDIATELY (not at playbook end): if the session/round dies
+  # mid-playbook, measurements already taken must survive as artifacts.
+  # bench_t3_first seeds BENCH_MEASURED_bench_t3; the later full-budget
+  # bench_t3 arm simply overwrites it (same run-order semantics).
+  local dest=$name
+  [ "$name" = bench_t3_first ] && dest=bench_t3
+  deposit "$name" "$dest"
+}
+
+deposit() { # deposit <arm> <dest> — stamp provenance, write artifact
+  local arm=$1 dest=$2
+  [ -f "$OUT/$arm.log" ] || return 0
+  local line
+  line=$(grep -m1 '^{.*"metric"' "$OUT/$arm.log" || true)
+  if [ -n "$line" ] && ! printf '%s' "$line" | grep -q '"error"'; then
+    # Temp-file write: a failed stamp must not truncate an existing artifact.
+    if python tools/stamp_bench_artifact.py "$arm" "$line" \
+         > "$OUT/$dest.json.tmp"; then
+      mv "$OUT/$dest.json.tmp" "BENCH_MEASURED_$dest.json"
+      echo "deposited BENCH_MEASURED_$dest.json (from $arm)"
+    else
+      echo "provenance stamp FAILED for $arm; artifact left untouched"
+    fi
+  fi
 }
 
 # 0a. Grab the Table-3 headline FIRST: its XLA binaries are already in
@@ -75,40 +99,11 @@ run_bench bench_t1_vitl   2400 --imagenet --teacher dinov2_vitl14
 # 4. Driver contracts.
 run entry           1200 python __graft_entry__.py
 
-# 5. Deposit each bench arm's measured JSON line at the repo root as a
-#    committable artifact (BENCH_MEASURED_<arm>.json). bench.py's
-#    watchdog error JSON cites these, so an outage at round end cannot
-#    hide a measurement taken during this hardware window.
-#    Later entries overwrite earlier ones for the same artifact, so the
-#    early warm-cache bench_t3_first run only survives if the main
-#    bench_t3 run produced no JSON.
+# 5. Final idempotent deposit sweep (each bench arm already deposited
+#    inline; this re-runs them in order in case an arm's log was produced
+#    by an earlier partial playbook run in the same $OUT).
 for pair in bench_t3_first:bench_t3 bench_t3:bench_t3 bench_t1:bench_t1 \
             bench_t2:bench_t2 bench_t1_vitl:bench_t1_vitl; do
-  arm=${pair%%:*}; dest=${pair##*:}
-  [ -f "$OUT/$arm.log" ] || continue
-  line=$(grep -m1 '^{.*"metric"' "$OUT/$arm.log" || true)
-  if [ -n "$line" ] && ! printf '%s' "$line" | grep -q '"error"'; then
-    # Stamp measurement provenance (git rev + UTC time + playbook arm) so
-    # a later reader can tell which code the number belongs to. Write via
-    # a temp file: a failed stamp must not truncate an existing artifact.
-    if python - "$arm" "$line" > "$OUT/$dest.json.tmp" <<'PY'
-import json, subprocess, sys, time
-j = json.loads(sys.argv[2])
-rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                     capture_output=True, text=True).stdout.strip()
-j["provenance"] = {
-    "measured_at": time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime()),
-    "git_rev_at_measurement": rev or "unknown",
-    "note": f"tools/hw_playbook.sh arm '{sys.argv[1]}' on the real axon TPU chip",
-}
-print(json.dumps(j))
-PY
-    then
-      mv "$OUT/$dest.json.tmp" "BENCH_MEASURED_$dest.json"
-      echo "deposited BENCH_MEASURED_$dest.json (from $arm)"
-    else
-      echo "provenance stamp FAILED for $arm; artifact left untouched"
-    fi
-  fi
+  deposit "${pair%%:*}" "${pair##*:}"
 done
 echo "=== playbook done ($(date +%H:%M:%S)); logs in $OUT ==="
