@@ -60,21 +60,36 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, n, d), jnp.bfloat16),
         True)["params"])()
 
+    # slab-size (g) sweep: the VMEM working set scales with g while the
+    # resident weights amortize either way — measure before adjudicating,
+    # so a losing default g can't condemn the kernel.
+    arms = [
+        ("xla+attnkernel ", {"BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": "xla"}),
+    ]
+    for g in (8, 4):
+        if b % g == 0:
+            arms.append((f"xla+mlpkernel g{g}", {
+                "BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": fused,
+                "BASD_TPU_MLP_G": str(g)}))
+    for g in (2, 4, 8):
+        if b % g == 0:
+            arms.append((f"blockkernel   g{g}", {
+                "BASD_TPU_BLOCK": fused, "BASD_TPU_MLP": "xla",
+                "BASD_TPU_BLOCK_G": str(g)}))
+
     outs = {}
-    for tag, env in (
-        ("xla+attnkernel", {"BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": "xla"}),
-        ("xla+mlpkernel ", {"BASD_TPU_BLOCK": "xla", "BASD_TPU_MLP": fused}),
-        ("blockkernel   ", {"BASD_TPU_BLOCK": fused, "BASD_TPU_MLP": "xla"}),
-    ):
+    for tag, env in arms:
         os.environ.update(env)
         f = jax.jit(lambda p, x: block.apply({"params": p}, x, True))
         ms = slope(f, params, x)
         tok, imp = f(params, x)
         outs[tag] = (np.asarray(tok, np.float32), np.asarray(imp))
         print(f"{tag}: {ms:7.3f} ms", flush=True)
+    for v in ("BASD_TPU_BLOCK_G", "BASD_TPU_MLP_G"):
+        os.environ.pop(v, None)
 
-    base_t, base_i = outs["xla+attnkernel"]
-    for tag in ("xla+mlpkernel ", "blockkernel   "):
+    base_t, base_i = outs[arms[0][0]]
+    for tag, _ in arms[1:]:
         t, i = outs[tag]
         print(f"{tag} vs base: tok maxerr {np.abs(t - base_t).max():.3e} "
               f"imp maxerr {np.abs(i - base_i).max():.3e}", flush=True)

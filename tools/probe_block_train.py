@@ -84,10 +84,17 @@ def probe(tag, b, n, d, heads, interp=False):
     print(f"{tag} grad rel: params worst {worst:.3e}, dx {dxrel:.3e}",
           flush=True)
 
-    ms_f = slope(g_fused, params, x)
     ms_x = slope(g_xla, params, x)
-    print(f"{tag} f+b per block: fused {ms_f:7.3f} ms vs xla {ms_x:7.3f} ms "
-          f"({ms_x / ms_f:.2f}x)", flush=True)
+    # slab-size (g) sweep — a losing default g must not condemn the kernel
+    for g in (2, 4):
+        if b % g:
+            continue
+        os.environ["BASD_TPU_TRAIN_BLOCK_G"] = str(g)
+        g_f = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 1)))
+        ms_f = slope(g_f, params, x)
+        print(f"{tag} f+b per block g{g}: fused {ms_f:7.3f} ms vs "
+              f"xla {ms_x:7.3f} ms ({ms_x / ms_f:.2f}x)", flush=True)
+    os.environ.pop("BASD_TPU_TRAIN_BLOCK_G", None)
 
 
 def main():
