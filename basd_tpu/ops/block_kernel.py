@@ -113,8 +113,8 @@ def _pick_group(b: int) -> int:
     must divide B) so the hardware probe can sweep slab sizes — the
     VMEM working set scales with g while the resident weights (~14 MB
     bf16 at D=768) are amortized across the whole grid either way."""
-    env = os.environ.get("BASD_TPU_BLOCK_G")
-    if env and int(env) >= 1 and b % int(env) == 0:
+    env = (os.environ.get("BASD_TPU_BLOCK_G") or "").strip()
+    if env.isdigit() and int(env) >= 1 and b % int(env) == 0:
         return int(env)
     return 2 if b % 2 == 0 else 1
 

@@ -292,8 +292,8 @@ def _pick_group(b: int) -> int:
     """BASD_TPU_TRAIN_BLOCK_G overrides (trace-time, must divide B) so
     the hardware probe can sweep slab sizes; the fwd+bwd kernel's VMEM
     working set (4 saved bf16 residuals + flash stats) scales with g."""
-    env = os.environ.get("BASD_TPU_TRAIN_BLOCK_G")
-    if env and int(env) >= 1 and b % int(env) == 0:
+    env = (os.environ.get("BASD_TPU_TRAIN_BLOCK_G") or "").strip()
+    if env.isdigit() and int(env) >= 1 and b % int(env) == 0:
         return int(env)
     return 2 if b % 2 == 0 else 1
 

@@ -77,8 +77,8 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _pick_group(b: int) -> int:
     """BASD_TPU_MLP_G overrides (trace-time, must divide B) so the
     hardware probe can sweep slab sizes."""
-    env = os.environ.get("BASD_TPU_MLP_G")
-    if env and int(env) >= 1 and b % int(env) == 0:
+    env = (os.environ.get("BASD_TPU_MLP_G") or "").strip()
+    if env.isdigit() and int(env) >= 1 and b % int(env) == 0:
         return int(env)
     for g in (8, 4, 2):
         if b % g == 0:

@@ -33,7 +33,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
-def _arm_watchdog() -> None:
+def _arm_watchdog(cold_arm: bool = False) -> None:
     """When the axon tunnel is down, any backend init hangs forever
     (CLAUDE.md gotchas) — the driver would record nothing. A daemon
     timer prints a self-describing error JSON and hard-exits instead.
@@ -44,11 +44,15 @@ def _arm_watchdog() -> None:
     — the worst outcome, a timeout with no parseable JSON (VERDICT r3
     weak #1). 1200 s still covers first contact (4+ min) plus a cold
     compile (6-8 min) with margin, and a warm cache run starts in
-    seconds. Override/disable via BASD_BENCH_WATCHDOG_S (<=0 disables).
+    seconds. Never-measured arms (--cross-arch, non-default --teacher)
+    have NO cached binaries and a first-ever compile can legitimately
+    exceed 1200 s, so they default to 2400 s instead (ADVICE r4).
+    Override/disable via BASD_BENCH_WATCHDOG_S (<=0 disables).
     """
     import threading
 
-    budget = float(os.environ.get("BASD_BENCH_WATCHDOG_S", "1200"))
+    default = "2400" if cold_arm else "1200"
+    budget = float(os.environ.get("BASD_BENCH_WATCHDOG_S", default))
     if budget <= 0:
         return
 
@@ -73,7 +77,9 @@ def _arm_watchdog() -> None:
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "error": f"watchdog: hardware unresponsive after {budget:.0f}s "
-                     "(axon tunnel down?) — no measurement taken",
+                     "(axon tunnel down? or a first-ever cold compile "
+                     "still in progress — re-run to resume from the "
+                     "persistent XLA cache) — no measurement taken",
         }
         if measured:
             payload["detail"] = {"builder_measured_artifacts": measured}
@@ -97,8 +103,6 @@ def main() -> None:
     from basd_tpu.losses import extraction_points, init_selector
     from basd_tpu.models import create_student, load_teacher
     from basd_tpu.training.train_step import make_train_step
-
-    _arm_watchdog()
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -128,6 +132,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.imagenet and args.cross_arch:
         ap.error("--imagenet and --cross-arch are mutually exclusive")
+    # Armed after argparse (argparse cannot hang) so never-measured arms
+    # can widen the default budget for their first-ever cold compile.
+    _arm_watchdog(cold_arm=args.cross_arch or args.teacher is not None)
 
     teacher_name = "dinov2_vitb14"
     if args.imagenet:

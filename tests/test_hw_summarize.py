@@ -119,3 +119,61 @@ def test_main_summarizes_mixed_dir(tmp_path, capsys, monkeypatch):
     # a nonexistent dir is an error, not a crash
     monkeypatch.setattr(sys, "argv", ["hw_summarize.py", str(tmp_path / "x")])
     assert hs.main() == 1
+
+
+def test_adjudicate_applies_precommitted_rule(tmp_path, capsys, monkeypatch):
+    """The flip/delete rule is pre-committed (DESIGN.md §9): flip iff the
+    kernel's primary in-context stage gets >=5% faster; policy A/Bs
+    collapse on a >=2% loss-tail win. Verdicts must be mechanical."""
+    hs = _load()
+    (tmp_path / "profile_t1.log").write_text(
+        "teacher forward:  122.000 ms\n"
+        "student fwd+bwd (CE): 117.000 ms\n"
+        "selector fwd:      28.300 ms\n"
+    )
+    (tmp_path / "profile_t1_fused.log").write_text(
+        "teacher forward:  100.000 ms\n"       # -18% -> FLIP
+        "student fwd+bwd (CE): 115.000 ms\n"   # -1.7% -> DELETE
+        "selector fwd:      28.100 ms\n"
+    )
+    (tmp_path / "profile_t1_mlp.log").write_text(
+        "teacher forward:  119.000 ms\n"       # -2.5% -> DELETE
+    )
+    (tmp_path / "profile_t3.log").write_text("selector fwd:  28.300 ms\n")
+    (tmp_path / "profile_t3_fused.log").write_text(
+        "selector fwd:  22.000 ms\n"           # -22% -> FLIP
+    )
+    (tmp_path / "loss_tail.log").write_text(
+        "  f+b BASD_TPU_MIX_DTYPE=f32:   87.40 ms\n"
+        "  f+b BASD_TPU_MIX_DTYPE=bf16:  80.10 ms\n"     # >2% -> collapse
+        "  f+b BASD_TPU_STUDENT_BASIS=iter:   87.40 ms\n"
+        "  f+b BASD_TPU_STUDENT_BASIS=eigh:   87.00 ms\n"  # <2% -> keep
+        "  f+b BASD_TPU_NSPG=fused:   84.00 ms\n"          # -3.9% -> DELETE
+        "  f+b BASD_TPU_NSPG=xla:     87.40 ms\n"
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["hw_summarize.py", str(tmp_path), "--adjudicate"]
+    )
+    assert hs.main() == 0
+    out = capsys.readouterr().out
+    verdicts = {
+        line.split()[0]: line
+        for line in out.splitlines()
+        if line.strip().startswith(
+            ("BLOCK", "TRAIN_BLOCK", "MLP", "SUBSPACE", "NSPG")
+        )
+    }
+    assert "FLIP" in verdicts["BLOCK"]
+    assert "DELETE" in verdicts["TRAIN_BLOCK"]
+    assert "DELETE" in verdicts["MLP"]
+    assert "FLIP" in verdicts["SUBSPACE"]
+    assert "DELETE" in verdicts["NSPG"]
+    assert "collapse to 'bf16'" in out
+    assert "keep default 'iter'" in out
+    # TRAIN_BLOCK with no t3 evidence must not invent a secondary row;
+    # missing arms degrade to PENDING, never to a false verdict
+    (tmp_path / "loss_tail.log").unlink()
+    capsys.readouterr()
+    assert hs.main() == 0
+    out = capsys.readouterr().out
+    assert "NSPG" in out and "PENDING" in out

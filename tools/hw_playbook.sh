@@ -26,6 +26,10 @@ run_bench() { # run_bench <name> <timeout_s> <bench.py args...>
   # slow cold compile yields bench's own error JSON instead of SIGKILL
   # (and a timeout edit can never desync the watchdog).
   local name=$1 t=$2; shift 2
+  # Rev sidecar written AT RUN TIME: the idempotent deposit sweep may
+  # re-stamp a log left by an earlier partial playbook run at an older
+  # commit — stamping HEAD-at-deposit-time would misattribute it.
+  git rev-parse --short HEAD > "$OUT/$name.rev" 2>/dev/null || true
   run "$name" "$t" env "BASD_BENCH_WATCHDOG_S=$((t - 120))" python bench.py "$@"
   # Deposit IMMEDIATELY (not at playbook end): if the session/round dies
   # mid-playbook, measurements already taken must survive as artifacts.
@@ -42,8 +46,10 @@ deposit() { # deposit <arm> <dest> — stamp provenance, write artifact
   local line
   line=$(grep -m1 '^{.*"metric"' "$OUT/$arm.log" || true)
   if [ -n "$line" ] && ! printf '%s' "$line" | grep -q '"error"'; then
+    local rev=""
+    [ -f "$OUT/$arm.rev" ] && rev=$(cat "$OUT/$arm.rev")
     # Temp-file write: a failed stamp must not truncate an existing artifact.
-    if python tools/stamp_bench_artifact.py "$arm" "$line" \
+    if python tools/stamp_bench_artifact.py "$arm" "$line" "$rev" \
          > "$OUT/$dest.json.tmp"; then
       mv "$OUT/$dest.json.tmp" "BENCH_MEASURED_$dest.json"
       echo "deposited BENCH_MEASURED_$dest.json (from $arm)"
@@ -79,6 +85,11 @@ run profile_t1      2400 python tools/profile_step.py --imagenet
 run profile_t1_fused 2400 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
     BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
     python tools/profile_step.py --imagenet
+# MLP-only arm: in the all-fused arm the whole-BLOCK kernel subsumes the
+# MLP kernel (models/vit.py dispatch order), so the MLP kernel's own
+# in-context delta needs an arm where ONLY it is forced.
+run profile_t1_mlp  1800 env BASD_TPU_MLP=fused \
+    python tools/profile_step.py --imagenet --only "teacher forward"
 # Table-3 is latency-bound spectral work — the SUBSPACE/NSPG decisions
 # need its own in-context arms (skip the >25-min 'full loss' jit; the
 # tail is attributed by probe_loss_tail above).
@@ -86,6 +97,11 @@ run profile_t3      1800 python tools/profile_step.py --only dual_view,teacher,s
 run profile_t3_fused 1800 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
     BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
     python tools/profile_step.py --only dual_view,teacher,student,selector
+run profile_t3_mlp  1200 env BASD_TPU_MLP=fused \
+    python tools/profile_step.py --only "teacher forward"
+# Machine adjudication table for the five pending kernels + policy A/Bs
+# (pure log parsing; the decision rule is pre-committed in the tool).
+run adjudicate       120 python tools/hw_summarize.py "$OUT" --adjudicate
 # 3. Headlines.
 run_bench bench_t1        2400 --imagenet
 run_bench bench_t3        1800
