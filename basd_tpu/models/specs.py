@@ -83,6 +83,10 @@ _CNN_PRESETS: dict[str, dict] = {
     # (`configs/experiment/basd_imagenet_cross_arch.yaml:6`)
     "convnextv2_tiny": dict(family="convnext", embed_dim=768, depth=4, mlp_ratio=4.0),
     "resnet_micro": dict(family="resnet", embed_dim=64, depth=4, mlp_ratio=0.0),
+    # 4-stage micro ConvNeXt-V2 (GRN path, stride 32 like the full-size
+    # family so ModelSpec.num_tokens holds) — offline cross-arch parity
+    # tests (Table-2 semantics: nhwc tokens, no CLS, uniform attention)
+    "convnextv2_micro": dict(family="convnext", embed_dim=64, depth=4, mlp_ratio=4.0),
 }
 
 

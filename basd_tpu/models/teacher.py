@@ -59,6 +59,11 @@ def build_teacher_module(spec: ModelSpec, img_size: int, dtype=jnp.bfloat16):
         width = spec.embed_dim // 8
         return ResNet(ResNetConfig(stage_sizes=stage_sizes, width=width, dtype=dtype))
     if spec.family == "convnext":
+        if spec.embed_dim <= 64:  # convnextv2_micro (tests)
+            return ConvNeXt(ConvNeXtConfig(
+                depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                use_grn=spec.name.startswith("convnextv2"), dtype=dtype,
+            ))
         return ConvNeXt(
             ConvNeXtConfig(use_grn=spec.name.startswith("convnextv2"), dtype=dtype)
         )

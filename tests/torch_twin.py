@@ -116,3 +116,56 @@ def make_torch_twin(cfg):
             return pooled, tokens, imps
 
     return ViT()
+
+
+class TorchScheduleFreeAdamW:
+    """Line-for-line torch transcription of
+    `basd_tpu.training.schedule_free.schedule_free_adamw` (params = y).
+
+    Shared by tests/test_full_step_parity.py (trajectory parity) and
+    tests/test_converged_accuracy.py (endpoint accuracy parity) — the
+    exact update rule from Defazio et al. 2024 that the reference runs
+    via the `schedulefree` pip package (not in this image, reference
+    `src/training/trainer.py:54-58`)."""
+
+    def __init__(self, params, *, lr, weight_decay, warmup_steps,
+                 beta1=0.9, beta2=0.999, eps=1e-8):
+        import torch
+
+        self.lr, self.wd, self.warmup = lr, weight_decay, warmup_steps
+        self.beta1, self.beta2, self.eps = beta1, beta2, eps
+        self.params = list(params)
+        self.z = [p.detach().clone() for p in self.params]
+        self.v = [torch.zeros_like(p) for p in self.params]
+        self.t = 0
+        self.weight_sum = 0.0
+
+    def step(self):
+        import torch
+
+        self.t += 1
+        sched = (min(1.0, self.t / max(self.warmup, 1))
+                 if self.warmup else 1.0)
+        gamma = self.lr * sched * (1.0 - self.beta2**self.t) ** 0.5
+        weight = gamma**2.0  # weight_lr_power = 2
+        self.weight_sum += weight
+        ckp1 = weight / self.weight_sum if self.weight_sum > 0 else 0.0
+        with torch.no_grad():
+            for p, z, v in zip(self.params, self.z, self.v):
+                g = p.grad
+                v.mul_(self.beta2).add_((1.0 - self.beta2) * g * g)
+                u = g / (v.sqrt() + self.eps) + self.wd * p
+                # y update reads the OLD z; z updates after
+                p.add_(ckp1 * (z - p)
+                       + gamma * (self.beta1 * (1.0 - ckp1) - 1.0) * u)
+                z.sub_(gamma * u)
+
+    def zero_grad(self):
+        for p in self.params:
+            p.grad = None
+
+    def eval_params(self):
+        return [
+            ((p.detach() - (1.0 - self.beta1) * z) / self.beta1)
+            for p, z in zip(self.params, self.z)
+        ]

@@ -24,7 +24,18 @@ print('TUNNEL UP:', d)
     echo "=== tunnel up at $(date +%H:%M:%S); launching playbook ===" | tee -a "$LOG"
     bash tools/hw_playbook.sh "$OUT" 2>&1 | tee -a "$LOG"
     echo "=== playbook finished at $(date +%H:%M:%S) ===" | tee -a "$LOG"
-    exit 0
+    # A flaky tunnel can die mid-playbook: only stand down once the
+    # headline arm actually deposited a fresh-rev artifact; otherwise
+    # keep watching and re-run (warm cache makes the re-run cheap,
+    # per-arm deposits make it idempotent).
+    head_rev=$(git rev-parse --short HEAD 2>/dev/null || echo none)
+    if grep -q "\"git_rev_at_measurement\": \"$head_rev\"" \
+         BENCH_MEASURED_bench_t3.json 2>/dev/null; then
+      echo "=== bench_t3 deposited at HEAD ($head_rev); watcher exiting ===" \
+        | tee -a "$LOG"
+      exit 0
+    fi
+    echo "=== headline not deposited at HEAD; resuming watch ===" | tee -a "$LOG"
   fi
   echo "probe failed at $(date +%H:%M:%S); sleeping ${SLEEP_S}s" >>"$LOG"
   sleep "$SLEEP_S"
