@@ -56,8 +56,21 @@ _MMT = (((2,), (1,)), ((), ()))  # (G, N, F) x (D, F) -> (G, N, D)
 _BQK = (((2,), (2,)), ((0,), (0,)))  # (G,N,hd) x (G,N,hd) -> (G,N,N)
 _BAV = (((2,), (1,)), ((0,), (0,)))  # (G,N,N) x (G,N,hd) -> (G,N,hd)
 _BROWS = (((1,), (1,)), ((0,), (0,)))  # contract over query rows
-# (G, N, A) x (G, N, B) -> sum_g (A, B): weight-grad partial per slab
-_WGRAD = (((0, 1), (0, 1)), ((), ()))
+# (G, N, A) x (G, N, B) -> sum_gn (A, B): weight-grad partial per slab.
+# Mosaic's tpu.matmul only lowers a SINGLE contracting dim (hardware
+# finding: the two-dim form verifies in interpret mode but fails Mosaic
+# verification on a real chip — "lhs contracting dims must be of size
+# 1"), so collapse the (slab, token) dims first; merging majormost dims
+# is a free relayout.
+_WGRAD1 = (((0,), (0,)), ((), ()))  # (GN, A) x (GN, B) -> (A, B)
+
+
+def _wgrad(a, b):
+    g, n, fa = a.shape
+    return jax.lax.dot_general(
+        a.reshape(g * n, fa), b.reshape(g * n, b.shape[-1]), _WGRAD1,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _ln_fwd_f32(x, scale, bias):
@@ -203,16 +216,14 @@ def _train_bwd_kernel(
                         jnp.zeros_like(do))
     else:
         gb2 = do
-    acc(dw2_ref, jax.lax.dot_general(
-        h2, gb2, _WGRAD, preferred_element_type=jnp.float32))
+    acc(dw2_ref, _wgrad(h2, gb2))
     acc(db2_ref, jnp.sum(gb2.astype(jnp.float32), axis=(0, 1),
                          keepdims=False).reshape(1, -1))
     dh2 = jax.lax.dot_general(
         gb2, w2_ref[:, :], _MMT, preferred_element_type=jnp.float32
     )
     dh1 = (dh2 * _gelu_grad_f32(h1f)).astype(dt)
-    acc(dw1_ref, jax.lax.dot_general(
-        y2, dh1, _WGRAD, preferred_element_type=jnp.float32))
+    acc(dw1_ref, _wgrad(y2, dh1))
     acc(db1_ref, jnp.sum(dh1.astype(jnp.float32), axis=(0, 1),
                          keepdims=False).reshape(1, -1))
     dy2 = jax.lax.dot_general(
@@ -230,8 +241,7 @@ def _train_bwd_kernel(
     else:
         gb1 = dx1.astype(dt)
     ao = ao_ref[:, :, :]
-    acc(dwproj_ref, jax.lax.dot_general(
-        ao, gb1, _WGRAD, preferred_element_type=jnp.float32))
+    acc(dwproj_ref, _wgrad(ao, gb1))
     acc(dbproj_ref, jnp.sum(gb1.astype(jnp.float32), axis=(0, 1),
                             keepdims=False).reshape(1, -1))
     d_o = jax.lax.dot_general(
@@ -270,8 +280,7 @@ def _train_bwd_kernel(
 
     dqkv = dqkv_scr[:, :, :]
     ln1, xhat1, r1 = _ln_fwd_f32(x, n1s_ref[0, :], n1b_ref[0, :])
-    acc(dwqkv_ref, jax.lax.dot_general(
-        ln1, dqkv, _WGRAD, preferred_element_type=jnp.float32))
+    acc(dwqkv_ref, _wgrad(ln1, dqkv))
     acc(dbqkv_ref, jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1),
                            keepdims=False).reshape(1, -1))
     dy1 = jax.lax.dot_general(
