@@ -33,8 +33,6 @@ from basd_tpu.data.datasets import (
     load_split_arrays,
 )
 from basd_tpu.ops.attention import attention_mesh
-from basd_tpu.ops.block_kernel import block_mesh
-from basd_tpu.ops.mlp_kernel import mlp_mesh
 from basd_tpu.ops.preprocess import eval_view
 
 
@@ -150,7 +148,7 @@ def evaluate_model(
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
             labs = np.concatenate([labs, np.zeros_like(labs[:pad])])
             mask[hi - lo :] = 0.0
-        with attention_mesh(mesh), mlp_mesh(mesh), block_mesh(mesh):
+        with attention_mesh(mesh):
             carry = eval_step(carry, params, put(imgs), put(labs), put(mask))
         total += hi - lo
 

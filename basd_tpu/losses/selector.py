@@ -34,13 +34,11 @@ its own ranks/subspaces from the local batch (SURVEY.md section 5.8).
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from basd_tpu.spectral.ops import _eigh_desc
 from basd_tpu.spectral import (
     marchenko_pastur_rank,
     marchenko_pastur_rank_gram,
@@ -214,19 +212,11 @@ def select_and_mix(
     )
     mu_s = jnp.mean(z_s, axis=-2)
     g_cs = g_s - m_s * mu_s[:, :, None] * mu_s[:, None, :]
-    if os.environ.get("BASD_TPU_STUDENT_BASIS", "iter") == "eigh":
-        # full-width eigendecomposition path: ONE differentiable batched
-        # eigh (Pallas Jacobi forward + the regularized-gap JVP of
-        # `spectral.ops._eigh_safe`) instead of autodiffing through the
-        # ~170-launch subspace-iteration chain. The top-K eigenvectors
-        # are the iteration's converged limit, so forward numerics agree
-        # on the signal subspace; the backward is a handful of matmuls
-        # instead of the chain's reverse sweep. Opt-in until the
-        # hardware A/B (tools/probe_selector_internals.py) decides.
-        _, u_s = _eigh_desc(g_cs)  # (P, D_s, D_s) descending
-        basis_s = u_s[..., :k]
-    else:
-        basis_s, _ = topk_basis_gram(g_cs, k)  # (P, D_s, K)
+    # Round-5 hardware A/B (tools/probe_loss_tail.py): differentiating
+    # through the subspace iteration beat the one-eigh alternative
+    # 89.2 vs 102.3 ms on the full loss-tail f+b, so the iteration is
+    # the only path (docs/DESIGN.md section 9).
+    basis_s, _ = topk_basis_gram(g_cs, k)  # (P, D_s, K)
 
     # ---- spectrally-weighted principal angles, all (P, L) pairs at once ----
     d2 = masked_principal_angle_distance(
@@ -246,15 +236,15 @@ def select_and_mix(
         teacher_tokens.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    if os.environ.get("BASD_TPU_MIX_DTYPE", "f32") == "bf16":
-        # store the mixed teacher tokens in the teacher's compute dtype:
-        # fp32-accumulated mix rounded once to bf16 — the same contract
-        # as the reference's autocast matmul (its mixed tokens are bf16
-        # until relational.py's .float() islands). Halves the HBM
-        # footprint of the (P, B, N_t, D_t) mix and the downstream
-        # token-count align at Table-1 (~1.4 GB of traffic). Opt-in
-        # until the hardware A/B + slow parity suite pin the default.
-        mixed_tokens = mixed_tokens.astype(teacher_tokens.dtype)
+    # Store the mixed teacher tokens in the teacher's compute dtype:
+    # fp32-accumulated mix rounded once to bf16 — the same contract as
+    # the reference's autocast matmul (its mixed tokens are bf16 until
+    # relational.py's .float() islands). Halves the HBM footprint of the
+    # (P, B, N_t, D_t) mix and the downstream token-count align at
+    # Table-1 (~1.4 GB of traffic). Round-5 hardware A/B: 84.0 vs
+    # 89.6 ms on the loss-tail f+b (docs/DESIGN.md section 9); the slow
+    # parity suite pins the numerics.
+    mixed_tokens = mixed_tokens.astype(teacher_tokens.dtype)
     mixed_importance = jnp.einsum(
         "pl,lbn->pbn",
         weights,

@@ -26,17 +26,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basd_tpu.ops.activations import gelu as fast_gelu
-from basd_tpu.ops.block_kernel import (
-    block_impl,
-    fused_vit_block_sharded,
-    use_fused_block,
-)
-from basd_tpu.ops.block_train import (
-    fused_block_train_sharded,
-    train_block_impl,
-    use_fused_train_block,
-)
-from basd_tpu.ops.mlp_kernel import fused_mlp_sharded, mlp_impl, use_fused_mlp
 from basd_tpu.ops.attention import (
     attention_impl,
     fused_attention_sharded,
@@ -240,63 +229,6 @@ class Mlp(nn.Module):
         )(x)
 
 
-class _LnParams(nn.Module):
-    """Parameter twin of `nn.LayerNorm` — declares the identical
-    {scale, bias} leaves (same names, shapes, inits, fp32 param dtype)
-    and returns them raw, so the fused Pallas half-block kernel can
-    consume the same checkpoint pytree the XLA path trains/loads."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param("scale", nn.initializers.ones, (self.dim,)),
-            self.param("bias", nn.initializers.zeros, (self.dim,)),
-        )
-
-
-class _DenseParams(nn.Module):
-    """Parameter twin of `nn.Dense(kernel_init=fan_in_linear_init)`."""
-
-    in_dim: int
-    out_dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param("kernel", fan_in_linear_init,
-                       (self.in_dim, self.out_dim)),
-            self.param("bias", nn.initializers.zeros, (self.out_dim,)),
-        )
-
-
-class _MlpParams(nn.Module):
-    """Parameter twin of `Mlp` (children fc1/fc2)."""
-
-    dim: int
-    hidden: int
-
-    @nn.compact
-    def __call__(self):
-        k1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
-        k2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
-        return k1, b1, k2, b2
-
-
-class _AttnParams(nn.Module):
-    """Parameter twin of `Attention` (children qkv/proj)."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        kq, bq = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
-        kp, bp = _DenseParams(self.dim, self.dim, name="proj")()
-        return {"qkv": {"kernel": kq, "bias": bq},
-                "proj": {"kernel": kp, "bias": bp}}
-
-
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -316,85 +248,18 @@ class Block(nn.Module):
         )
         return y * gamma.astype(self.dtype)
 
-    def _twin_params(self) -> dict:
-        """Declare the full Block param pytree via parameter twins (same
-        names/shapes/inits as the XLA modules) for the fused Pallas
-        dispatches."""
-        n1s, n1b = _LnParams(self.dim, name="norm1")()
-        attn_p = _AttnParams(self.dim, name="attn")()
-        n2s, n2b = _LnParams(self.dim, name="norm2")()
-        k1, b1, k2, b2 = _MlpParams(
-            self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
-        params = {
-            "norm1": {"scale": n1s, "bias": n1b},
-            "attn": attn_p,
-            "norm2": {"scale": n2s, "bias": n2b},
-            "mlp": {"fc1": {"kernel": k1, "bias": b1},
-                    "fc2": {"kernel": k2, "bias": b2}},
-        }
-        if self.layer_scale_init is not None:
-            init = nn.initializers.constant(self.layer_scale_init)
-            params["ls1"] = self.param("ls1", init, (self.dim,))
-            params["ls2"] = self.param("ls2", init, (self.dim,))
-        return params
-
     @nn.compact
     def __call__(
         self, x: jax.Array, deterministic: bool
     ) -> tuple[jax.Array, jax.Array]:
-        head_dim = self.dim // self.num_heads
-        if deterministic and use_fused_block(
-            x.shape[1], self.dim, head_dim, self.has_cls_token, train=False
-        ):
-            # the WHOLE block as one VMEM-resident Pallas pass
-            # (ops/block_kernel.py): x enters and leaves HBM once per
-            # layer, and the CLS attention rows come out as a free
-            # byproduct. Parameter twins declare the identical
-            # checkpoint pytree; DropPath is the identity on this
-            # deterministic-only path.
-            params = self._twin_params()
-            out, cls_rows = fused_vit_block_sharded(
-                x, params, head_dim,
-                interpret=block_impl() == "fused_interpret",
-            )
-            # CLS-row softmax over patch keys, mean over heads
-            # (reference relational.py:24)
-            importance = cls_rows[:, 1:, :].mean(axis=-1)
-            return out, importance
-        if not deterministic and use_fused_train_block(
-            x.shape[1], self.dim, head_dim, self.has_cls_token,
-            self.layer_scale_init is not None,
-        ):
-            # the WHOLE block fused fwd+bwd (ops/block_train.py): the
-            # forward saves four bf16 residuals + softmax stats; the
-            # backward walks LN1->qkv->attention->proj->LN2->mlp in one
-            # VMEM pass per slab with fp32 weight-grad accumulation
-            # across the batch grid. DropPath masks are sampled here
-            # with the module's own rng stream (same per-sample
-            # bernoulli(keep) law as the DropPath modules; mask BITS
-            # differ from the XLA path's per-module folded keys —
-            # statistical, not bitwise, trajectory parity across
-            # dispatches). Importance is a stop-gradient byproduct (the
-            # BASD loss never differentiates student importance).
-            params = self._twin_params()
-            keep = 1.0 - self.drop_path
-            b = x.shape[0]
-            if self.drop_path > 0.0:
-                mask1 = jax.random.bernoulli(
-                    self.make_rng("droppath"), keep, (b,)
-                ).astype(jnp.float32)
-                mask2 = jax.random.bernoulli(
-                    self.make_rng("droppath"), keep, (b,)
-                ).astype(jnp.float32)
-            else:
-                mask1 = mask2 = jnp.ones((b,), jnp.float32)
-            out, cls_rows = fused_block_train_sharded(
-                x, params, mask1, mask2, head_dim, keep, keep,
-                interpret=train_block_impl() == "fused_interpret",
-            )
-            importance = jax.lax.stop_gradient(
-                cls_rows[:, 1:, :].mean(axis=-1))
-            return out, importance
+        # Round-5 hardware adjudication (docs/DESIGN.md section 9): the
+        # whole-block fused kernels (fwd-only, train fwd+bwd) and the
+        # norm2->mlp tail kernel all LOST to this XLA chain + the fused
+        # attention kernel in-context (teacher fwd 126.1 vs 121.9 ms,
+        # student f+b 156.2 vs 113.5 ms, mlp-forced 137.0 vs 121.9 ms on
+        # the Table-1 workload) and were deleted per the pre-committed
+        # flip-or-delete rule. XLA's own elementwise fusion around the
+        # MXU matmuls beats hand-slabbed VMEM residency at these shapes.
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y, importance = Attention(
             self.dim, self.num_heads, self.has_cls_token, self.dtype,
@@ -403,28 +268,6 @@ class Block(nn.Module):
         y = self._layer_scale("ls1", y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
-        hidden = int(self.dim * self.mlp_ratio)
-        if deterministic and use_fused_mlp(self.dim, train=not deterministic):
-            # whole norm2 -> mlp -> ls2 -> residual tail in one
-            # VMEM-resident Pallas pass (ops/mlp_kernel.py); parameter
-            # twins declare the identical checkpoint pytree, and
-            # DropPath is the identity on this deterministic-only path
-            scale, bias = _LnParams(self.dim, name="norm2")()
-            k1, b1, k2, b2 = _MlpParams(self.dim, hidden, name="mlp")()
-            ls = (
-                self.param(
-                    "ls2",
-                    nn.initializers.constant(self.layer_scale_init),
-                    (self.dim,),
-                )
-                if self.layer_scale_init is not None
-                else None
-            )
-            x = fused_mlp_sharded(
-                x, scale, bias, k1, b1, k2, b2, ls,
-                interpret=mlp_impl() == "fused_interpret",
-            )
-            return x, importance
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(
             self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp"

@@ -121,22 +121,6 @@ def _batch_island(fn):
     )
 
 
-def _use_ns_pair_kernel(shape: tuple[int, ...]) -> bool:
-    """Dispatch policy for the fused Newton-Schulz pair-sqrt kernel
-    (`spectral.ns_sqrt_kernel`): plain 3-D (B, N, N) batches on TPU.
-    Env override BASD_TPU_NSPG in {auto, xla, fused, fused_interpret}."""
-    impl = os.environ.get("BASD_TPU_NSPG", "auto")
-    if impl == "xla" or os.environ.get("BASD_TPU_DISABLE_PALLAS"):
-        return False
-    if len(shape) != 3 or shape[-1] > 512:
-        return False
-    if impl in ("fused", "fused_interpret"):
-        return True
-    # auto stays on XLA until the in-context hardware stage profile
-    # confirms the win (docs/DESIGN.md §7 day-3 "pending measurement").
-    return False
-
-
 def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     """Dispatch policy for the batched Jacobi eigensolver: XLA's TPU eigh
     serializes over the batch (~1.1 ms per 192x192 matrix measured), while
@@ -555,24 +539,13 @@ def nuclear_norm_pair_gram(g_s: jax.Array, g_t: jax.Array) -> jax.Array:
 
 
 def _nuc_pg_fwd(g_s, g_t):
+    # Round-5 hardware adjudication: the fused NS-pair kernel
+    # (spectral/ns_sqrt_kernel.py) tripped a Mosaic compiler abort
+    # (inferReshape layout check) at real shapes and was deleted per the
+    # flip-or-delete rule (docs/DESIGN.md section 9) - the scheduled XLA
+    # iteration below IS the shipping path.
     gs = g_s.astype(_F32)
     gt = g_t.astype(_F32)
-    if _use_ns_pair_kernel(gs.shape):
-        # fused path: W build + the whole scheduled (Y, Z) iteration stay
-        # VMEM-resident per batch slab (one kernel launch; ~29 fewer
-        # (B, N, N) HBM round-trips). Emits exactly this function's
-        # (value, z_scaled) contract.
-        from basd_tpu.spectral.ns_sqrt_kernel import ns_sqrt_pair_fused
-
-        impl = os.environ.get("BASD_TPU_NSPG", "auto")
-        fused = _batch_island(
-            partial(
-                ns_sqrt_pair_fused, sched=_NS_SQRT_SCHED,
-                interpret=impl == "fused_interpret" or _pallas_interpret(),
-            )
-        )
-        value, z_scaled = fused(gs, gt)
-        return value, (gs, gt, z_scaled)
     w = jnp.einsum("...nm,...mk->...nk", gt, gs,
                    preferred_element_type=_F32, precision=_NS)
     scale = _frob(w)
@@ -702,49 +675,19 @@ def topk_basis(
                            polar_iters=polar_iters)
 
 
-def _use_subspace_kernel(shape: tuple[int, ...], k: int) -> bool:
-    """Dispatch policy for the fused forward-only subspace-iteration
-    kernel (`spectral.subspace_kernel`): the XLA unrolled iteration is
-    ~170 launch-latency-bound micro-matmuls (21 ms measured at Table-1
-    vs ~2 ms of MXU math). Env override BASD_TPU_SUBSPACE in
-    {auto, xla, fused, fused_interpret}."""
-    impl = os.environ.get("BASD_TPU_SUBSPACE", "auto")
-    if impl == "xla" or os.environ.get("BASD_TPU_DISABLE_PALLAS"):
-        return False
-    if len(shape) != 3 or shape[-1] > 1024 or k < 2:
-        return False
-    if impl in ("fused", "fused_interpret"):
-        return True
-    # auto stays on XLA until the in-context hardware stage profile
-    # confirms the win (docs/DESIGN.md §7 day-3 "pending measurement").
-    return False
-
-
 def topk_basis_gram_nograd(
     g: jax.Array, k: int, *, g_iters: int = 6, polar_iters: int = 14
 ) -> tuple[jax.Array, jax.Array]:
-    """`topk_basis_gram` for GRADIENT-FREE callers (teacher statistics):
-    on TPU the whole subspace iteration runs as one VMEM-resident Pallas
-    launch instead of ~170 latency-bound micro-matmuls; only the final
-    (k, k) Rayleigh-Ritz eigh + basis rotation stay outside. The kernel
-    defines no VJP — differentiated callers must use `topk_basis_gram`."""
-    if _use_subspace_kernel(g.shape, k):
-        from basd_tpu.spectral.subspace_kernel import subspace_iterate
+    """`topk_basis_gram` for GRADIENT-FREE callers (teacher statistics).
 
-        impl = os.environ.get("BASD_TPU_SUBSPACE", "auto")
-        iterate = _replicated_island(
-            partial(
-                subspace_iterate, k=k, g_iters=g_iters,
-                polar_iters=polar_iters,
-                interpret=impl == "fused_interpret" or _pallas_interpret(),
-            )
-        )
-        v, r = iterate(g)
-        eigvals, u = _eigh_desc(r)
-        basis = jnp.einsum("...dk,...kl->...dl", v, u,
-                           preferred_element_type=_F32, precision=_HI)
-        svals = jnp.sqrt(jnp.clip(eigvals, 0.0, None))
-        return basis, svals
+    Round-5 hardware adjudication: the forward-only fused
+    subspace-iteration kernel won its isolated probe (15.0 vs 21.3 ms)
+    but LOST in-context (Table-3 selector fwd 9.82 ms forced vs 9.67 ms
+    auto - the selector's shared-Gram pipeline already hides the
+    launch latency) and was deleted per the flip-or-delete rule
+    (docs/DESIGN.md section 9); gradient-free callers share the
+    differentiable iteration below.
+    """
     return topk_basis_gram(g, k, g_iters=g_iters, polar_iters=polar_iters)
 
 

@@ -22,9 +22,6 @@ from basd_tpu.models.teacher import Teacher, extract_intermediates
 from basd_tpu.ops.attention import attention_mesh
 from basd_tpu.ops.mixup import mixup_cutmix
 from basd_tpu.ops.preprocess import dual_view, dual_view_eval
-from basd_tpu.ops.block_kernel import block_mesh
-from basd_tpu.ops.block_train import train_block_mesh
-from basd_tpu.ops.mlp_kernel import mlp_mesh
 from basd_tpu.ops.warp_kernel import warp_mesh
 from basd_tpu.spectral.ops import spectral_mesh
 from basd_tpu.training.schedule_free import schedule_free_adamw
@@ -107,8 +104,7 @@ def make_train_step(
         # replicated island, the fused attention kernel in a
         # (batch, heads)-sharded island (ops/attention.py), the fused
         # augment warp kernel in a batch-sharded island (ops/warp_kernel).
-        with spectral_mesh(mesh), attention_mesh(mesh), warp_mesh(mesh), \
-                mlp_mesh(mesh), block_mesh(mesh), train_block_mesh(mesh):
+        with spectral_mesh(mesh), attention_mesh(mesh), warp_mesh(mesh):
             return _step_body(state, teacher_variables, images_u8, labels)
 
     def _step_body(

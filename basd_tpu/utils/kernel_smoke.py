@@ -46,53 +46,6 @@ def _attention_bwd(interpret):
     return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, q, q)
 
 
-def _block_fwd(interpret):
-    from basd_tpu.ops.block_kernel import fused_vit_block
-    from basd_tpu.models.vit import Block
-
-    rng = np.random.default_rng(0)
-    blk = Block(64, 2, 4.0, 0.0, True, jnp.bfloat16)
-    x = jnp.asarray(rng.standard_normal((4, 17, 64)) * 0.5, jnp.bfloat16)
-    params = blk.init(jax.random.PRNGKey(0), x, True)["params"]
-    return jax.jit(
-        lambda x: fused_vit_block(x, params, 32, interpret=interpret)
-    )(x)
-
-
-def _block_train(interpret):
-    from basd_tpu.ops.block_train import fused_block_train
-    from basd_tpu.models.vit import Block
-
-    rng = np.random.default_rng(0)
-    blk = Block(64, 2, 4.0, 0.0, True, jnp.bfloat16)
-    x = jnp.asarray(rng.standard_normal((4, 17, 64)) * 0.5, jnp.bfloat16)
-    params = blk.init(jax.random.PRNGKey(0), x, True)["params"]
-    ones = jnp.ones((4,), jnp.float32)
-
-    def loss(p, x):
-        out, _ = fused_block_train(x, p, ones, ones, 32, 1.0, 1.0, interpret)
-        return jnp.sum(out.astype(jnp.float32) ** 2)
-
-    return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(params, x)
-
-
-def _mlp(interpret):
-    from basd_tpu.ops.mlp_kernel import fused_mlp_block
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((4, 17, 64)) * 0.5, jnp.bfloat16)
-    w1 = jnp.asarray(rng.standard_normal((64, 256)) * 0.05, jnp.float32)
-    w2 = jnp.asarray(rng.standard_normal((256, 64)) * 0.05, jnp.float32)
-    one = jnp.ones((64,), jnp.float32)
-    zero = jnp.zeros((64,), jnp.float32)
-    return jax.jit(
-        lambda x: fused_mlp_block(
-            x, one, zero, w1, jnp.zeros((256,), jnp.float32), w2, zero,
-            None, interpret=interpret,
-        )
-    )(x)
-
-
 def _warp(interpret):
     from basd_tpu.ops.warp_kernel import fused_geometric_warp
 
@@ -117,43 +70,15 @@ def _jacobi(interpret):
     )(a)
 
 
-def _subspace(interpret):
-    from basd_tpu.spectral.subspace_kernel import subspace_iterate
-
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((3, 48, 48)).astype(np.float32)
-    g = jnp.asarray(a @ a.transpose(0, 2, 1))
-    return jax.jit(lambda g: subspace_iterate(g, k=8, interpret=interpret))(g)
-
-
-def _ns_pair(interpret):
-    from basd_tpu.spectral.ns_sqrt_kernel import ns_sqrt_pair_fused
-    from basd_tpu.spectral.ops import _NS_SQRT_SCHED
-
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((4, 24, 16)).astype(np.float32)
-    g = jnp.asarray(a @ a.transpose(0, 2, 1))
-    return jax.jit(
-        lambda g: ns_sqrt_pair_fused(g, g, _NS_SQRT_SCHED,
-                                     interpret=interpret)
-    )(g)
-
-
 # (name, policy env var flipped to "xla" on failure, check fn, auto_on).
-# auto_on=False kernels stay on XLA under 'auto' (in-context win not yet
-# measured on hardware — see the dispatch gates); they are smoke-checked
-# only when their env explicitly forces the fused path, so bench/entry
-# never spend tunnel time compiling a kernel that cannot dispatch.
+# Round-5 adjudication: every kernel that survives ships with auto_on
+# (the five pending outage-built kernels all lost their in-context
+# hardware A/Bs and were deleted — docs/DESIGN.md section 9).
 KERNEL_CHECKS = (
     ("attention", "BASD_TPU_ATTENTION", _attention, True),
     ("attention_bwd", "BASD_TPU_ATTENTION", _attention_bwd, True),
-    ("block_fwd", "BASD_TPU_BLOCK", _block_fwd, False),
-    ("block_train", "BASD_TPU_TRAIN_BLOCK", _block_train, False),
-    ("mlp", "BASD_TPU_MLP", _mlp, False),
     ("warp", "BASD_TPU_WARP", _warp, True),
     ("jacobi", "BASD_TPU_JACOBI", _jacobi, True),
-    ("subspace", "BASD_TPU_SUBSPACE", _subspace, False),
-    ("ns_pair", "BASD_TPU_NSPG", _ns_pair, False),
 )
 
 

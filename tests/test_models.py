@@ -182,138 +182,3 @@ class TestFactory:
         assert out.tokens.shape == (2, 2, 16, 64)
 
 
-class TestFusedMlpBlock:
-    """Interpret-mode parity of the fused MLP half-block kernel
-    (ops/mlp_kernel.py) against the XLA Block tail, exercising the real
-    kernel math on the CPU mesh. The kernel replicates the XLA dtype
-    chain, so tolerance is one bf16 rounding."""
-
-    def _block_params(self, d, hidden, ls, seed=0):
-        import numpy as np
-
-        rng = np.random.default_rng(seed)
-        p = {
-            "norm2": {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(d),
-                                           jnp.float32),
-                      "bias": jnp.asarray(0.1 * rng.standard_normal(d),
-                                          jnp.float32)},
-            "mlp": {"fc1": {"kernel": jnp.asarray(
-                        rng.standard_normal((d, hidden)) * 0.05, jnp.float32),
-                        "bias": jnp.asarray(0.02 * rng.standard_normal(hidden),
-                                            jnp.float32)},
-                    "fc2": {"kernel": jnp.asarray(
-                        rng.standard_normal((hidden, d)) * 0.05, jnp.float32),
-                        "bias": jnp.asarray(0.02 * rng.standard_normal(d),
-                                            jnp.float32)}},
-        }
-        if ls:
-            p["ls2"] = jnp.asarray(
-                1e-5 * (1 + rng.standard_normal(d)), jnp.float32)
-        return p
-
-    @pytest.mark.parametrize("ls", [False, True])
-    def test_matches_xla_tail(self, ls):
-        import numpy as np
-
-        from basd_tpu.ops.mlp_kernel import fused_mlp_block
-
-        d, hidden, b, n = 128, 512, 4, 33
-        p = self._block_params(d, hidden, ls)
-        rng = np.random.default_rng(3)
-        x = jnp.asarray(rng.standard_normal((b, n, d)) * 0.5, jnp.bfloat16)
-
-        def xla_tail(x):
-            import flax.linen as nn_
-
-            from basd_tpu.models.vit import Mlp
-            from basd_tpu.ops.activations import gelu as fg
-
-            ln = nn_.LayerNorm(dtype=jnp.bfloat16, name="n")
-            y = ln.apply({"params": p["norm2"]}, x)
-            mlp = Mlp(d, hidden, jnp.bfloat16)
-            y = mlp.apply({"params": p["mlp"]}, y)
-            if ls:
-                y = y * p["ls2"].astype(jnp.bfloat16)
-            return x + y
-
-        want = np.asarray(jax.jit(xla_tail)(x), np.float32)
-        got = np.asarray(jax.jit(lambda x: fused_mlp_block(
-            x, p["norm2"]["scale"], p["norm2"]["bias"],
-            p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
-            p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
-            p["ls2"] if ls else None, interpret=True,
-        ))(x), np.float32)
-        np.testing.assert_allclose(got, want, atol=0.04, rtol=0.02)
-
-    def test_block_dispatch_parity(self, monkeypatch):
-        import numpy as np
-
-        from basd_tpu.models.vit import Block
-
-        d, b, n = 128, 4, 33
-        block = Block(d, 4, 4.0, 0.0, True, jnp.bfloat16,
-                      layer_scale_init=1e-5)
-        x = jnp.asarray(
-            np.random.default_rng(5).standard_normal((b, n, d)) * 0.5,
-            jnp.bfloat16)
-        monkeypatch.setenv("BASD_TPU_MLP", "fused_interpret")
-        params = jax.jit(lambda: block.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, n, d), jnp.bfloat16),
-            True)["params"])()
-        got = jax.jit(lambda p, x: block.apply({"params": p}, x, True)[0])(
-            params, x)
-        monkeypatch.setenv("BASD_TPU_MLP", "xla")
-        want = jax.jit(lambda p, x: block.apply({"params": p}, x, True)[0])(
-            params, x)
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32),
-            atol=0.04, rtol=0.02)
-        # param structure identical across dispatches (checkpoint compat)
-        monkeypatch.setenv("BASD_TPU_MLP", "xla")
-        params_xla = jax.jit(lambda: block.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, n, d), jnp.bfloat16),
-            True)["params"])()
-        assert jax.tree_util.tree_structure(params) == \
-            jax.tree_util.tree_structure(params_xla)
-
-
-class TestFusedBlockKernel:
-    """Interpret-mode parity of the whole-block fused kernel
-    (ops/block_kernel.py) against the XLA Block path at model level:
-    tokens to bf16 rounding, importance to the bf16-vs-fp32 attention
-    matmul gap."""
-
-    @pytest.mark.parametrize("ls", [False, True])
-    def test_block_dispatch_parity(self, ls, monkeypatch):
-        from basd_tpu.models.vit import Block
-
-        d, heads, b, n = 128, 4, 4, 17
-        block = Block(d, heads, 4.0, 0.0, True, jnp.bfloat16,
-                      layer_scale_init=1e-2 if ls else None)
-        x = jnp.asarray(
-            np.random.default_rng(5).standard_normal((b, n, d)) * 0.5,
-            jnp.bfloat16)
-        monkeypatch.setenv("BASD_TPU_BLOCK", "fused_interpret")
-        monkeypatch.setenv("BASD_TPU_MLP", "xla")
-        params = jax.jit(lambda: block.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, n, d), jnp.bfloat16),
-            True)["params"])()
-        got, imp_got = jax.jit(
-            lambda p, x: block.apply({"params": p}, x, True))(params, x)
-        monkeypatch.setenv("BASD_TPU_BLOCK", "xla")
-        want, imp_want = jax.jit(
-            lambda p, x: block.apply({"params": p}, x, True))(params, x)
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32),
-            atol=0.04, rtol=0.02)
-        # kernel importance uses the attention's own bf16-prescaled-q
-        # contract; the XLA side recompute is fp32 — bf16-level gap
-        np.testing.assert_allclose(
-            np.asarray(imp_got), np.asarray(imp_want), atol=2e-3)
-        # param structure identical across dispatches (checkpoint compat)
-        monkeypatch.setenv("BASD_TPU_BLOCK", "xla")
-        params_xla = jax.jit(lambda: block.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, n, d), jnp.bfloat16),
-            True)["params"])()
-        assert jax.tree_util.tree_structure(params) == \
-            jax.tree_util.tree_structure(params_xla)

@@ -248,22 +248,16 @@ class TestDPTPEquivalence:
 
     @pytest.mark.slow
     def test_dp8_all_kernels_fused_matches_xla(self, monkeypatch):
-        """The full production-intent kernel composition in ONE train
-        step under the 8-device mesh: every Pallas kernel forced to
-        fused_interpret SIMULTANEOUSLY (attention, whole-block train,
-        warp, subspace iteration, NS pair sqrt, Jacobi) plus the
-        eigh student-basis and bf16 mixed-token policies. Loss must
-        match the all-XLA step — the composition (islands nesting,
+        """The full production kernel composition in ONE train step
+        under the 8-device mesh: every surviving Pallas kernel forced to
+        fused_interpret SIMULTANEOUSLY (attention, warp, Jacobi). Loss
+        must match the all-XLA step — the composition (islands nesting,
         custom-VJP boundaries, GSPMD interplay) is what single-kernel
         tests cannot see."""
         for env, val in (
             ("BASD_TPU_PALLAS_INTERPRET", "1"),
             ("BASD_TPU_ATTENTION", "fused_interpret"),
-            ("BASD_TPU_TRAIN_BLOCK", "fused_interpret"),
             ("BASD_TPU_WARP", "fused_interpret"),
-            ("BASD_TPU_SUBSPACE", "fused_interpret"),
-            ("BASD_TPU_NSPG", "fused_interpret"),
-            ("BASD_TPU_STUDENT_BASIS", "eigh"),
         ):
             monkeypatch.setenv(env, val)
         teacher, state, _, images, labels = _build(seed=6)
@@ -297,14 +291,11 @@ class TestDPTPEquivalence:
 
         for env in (
             "BASD_TPU_PALLAS_INTERPRET", "BASD_TPU_ATTENTION",
-            "BASD_TPU_TRAIN_BLOCK", "BASD_TPU_WARP", "BASD_TPU_SUBSPACE",
-            "BASD_TPU_NSPG", "BASD_TPU_STUDENT_BASIS",
+            "BASD_TPU_WARP",
         ):
             monkeypatch.delenv(env)
         _, m_ref = jax.jit(step_fn)(state, teacher.variables, images, labels)
         assert np.isfinite(loss_fused)
-        # eigh-vs-iteration student bases shift mixing weights slightly;
-        # everything else is bf16-rounding-level
         np.testing.assert_allclose(
             float(m_ref["loss"]), loss_fused, rtol=5e-3
         )

@@ -19,8 +19,6 @@ REPO = Path(__file__).resolve().parents[1]
 
 PLAYBOOK_PROBES = (
     "probe_warp_kernel.py",
-    "probe_block_kernel.py",
-    "probe_block_train.py",
     "probe_dualview.py",
     "probe_selector_internals.py",
     "probe_loss_tail.py",

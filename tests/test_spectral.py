@@ -294,183 +294,6 @@ class TestTopkBasis:
         assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
 
-class TestSubspaceKernel:
-    """Fused forward-only subspace iteration (`spectral.subspace_kernel`)
-    vs the XLA unrolled `topk_basis_gram` oracle, in interpret mode."""
-
-    def _grams(self, l=3, m=300, d=24, rank=6, seed=33):
-        rng = np.random.default_rng(seed)
-        grams = []
-        for _ in range(l):
-            z = _low_rank_plus_noise(rng, m, d, rank).astype(np.float32)
-            zc = z - z.mean(0, keepdims=True)
-            grams.append(zc.T @ zc)
-        return jnp.asarray(np.stack(grams))
-
-    def test_matches_xla_iteration(self, monkeypatch):
-        from basd_tpu.spectral import topk_basis_gram, topk_basis_gram_nograd
-
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "fused_interpret")
-        g = self._grams()
-        k = 8
-        basis_f, svals_f = jax.jit(
-            lambda g: topk_basis_gram_nograd(g, k))(g)
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "xla")
-        basis_x, svals_x = topk_basis_gram(g, k)
-        # same recurrence; kernel matmuls are full fp32 vs bf16x3 data-side.
-        # Signal svals must agree tightly; the noise tail is nearly
-        # degenerate (any basis of it is valid, ~zero spectral weight
-        # downstream), so it only has to agree in absolute terms.
-        np.testing.assert_allclose(
-            np.asarray(svals_f)[:, :6], np.asarray(svals_x)[:, :6],
-            rtol=2e-3,
-        )
-        np.testing.assert_allclose(
-            np.asarray(svals_f)[:, 6:], np.asarray(svals_x)[:, 6:],
-            atol=0.05,
-        )
-        for bf, bx in zip(np.asarray(basis_f), np.asarray(basis_x)):
-            # signal subspace parity (projector form: sign-invariant);
-            # tail columns (beyond the planted rank) underflow to zero in
-            # BOTH paths after 6 Gram powers — rank masking zeroes their
-            # weight downstream, so only the signal block is contractual
-            pf, px = bf[:, :6] @ bf[:, :6].T, bx[:, :6] @ bx[:, :6].T
-            np.testing.assert_allclose(pf, px, atol=2e-2)
-            np.testing.assert_allclose(
-                bf[:, :6].T @ bf[:, :6], np.eye(6), atol=5e-3
-            )
-
-    def test_dispatch_gates(self, monkeypatch):
-        from basd_tpu.spectral.ops import _use_subspace_kernel
-
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "fused")
-        assert _use_subspace_kernel((13, 384, 384), 200)
-        assert not _use_subspace_kernel((384, 384), 200)  # unbatched
-        assert not _use_subspace_kernel((13, 2048, 2048), 200)  # too wide
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "xla")
-        assert not _use_subspace_kernel((13, 384, 384), 200)
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "auto")
-        # CPU test env: auto falls back to XLA
-        assert not _use_subspace_kernel((13, 384, 384), 200)
-
-    @pytest.mark.slow
-    def test_selector_through_kernel_island(self, monkeypatch):
-        """select_and_mix with the fused teacher-subspace path under the
-        8-device mesh (replicated shard_map island) must match the XLA
-        path's mixing weights.
-
-        Slow-marked (suite budget): value parity rides the default-selection
-        test_matches_xla_iteration; this adds only the mesh-island wiring,
-        which interpret-mode emulation makes ~20 s on the 1-core host."""
-        from basd_tpu.losses import init_selector
-        from basd_tpu.losses.selector import select_and_mix
-        from basd_tpu.parallel.mesh import create_mesh
-        from basd_tpu.spectral.ops import spectral_mesh
-
-        rng = np.random.default_rng(34)
-        p, l, b, n, d_s, d_t = 2, 3, 4, 9, 16, 24
-        st = jnp.asarray(rng.normal(size=(p, b, n, d_s)).astype(np.float32))
-        tt = jnp.asarray(rng.normal(size=(l, b, n, d_t)).astype(np.float32))
-        ti = jnp.asarray(rng.random((l, b, n)).astype(np.float32))
-        sel = init_selector(jax.random.PRNGKey(0), p, d_s, d_t)
-
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "xla")
-        _, _, aux_x = select_and_mix(sel, st, tt, ti, subspace_k=8)
-
-        monkeypatch.setenv("BASD_TPU_SUBSPACE", "fused_interpret")
-        with spectral_mesh(create_mesh(data=8)):
-            _, _, aux_f = jax.jit(
-                lambda *a: select_and_mix(*a, subspace_k=8)
-            )(sel, st, tt, ti)
-        np.testing.assert_allclose(
-            np.asarray(aux_f["mixing_weights"]),
-            np.asarray(aux_x["mixing_weights"]),
-            atol=5e-4,
-        )
-
-
-class TestNsSqrtPairKernel:
-    """Fused Newton-Schulz pair-sqrt kernel (`spectral.ns_sqrt_kernel`)
-    vs the XLA scheduled iteration, values AND gradients (the kernel
-    emits the VJP residual Z)."""
-
-    def _gram_pair(self, b=6, n=12, d=16, seed=40):
-        rng = np.random.default_rng(seed)
-        s = rng.normal(size=(b, n, d)).astype(np.float32)
-        t = (0.4 * s + 0.6 * rng.normal(size=(b, n, d))).astype(np.float32)
-        gs = jnp.asarray(np.einsum("bnd,bmd->bnm", s, s))
-        gt = jnp.asarray(np.einsum("bnd,bmd->bnm", t, t))
-        return gs, gt
-
-    def test_value_and_grad_match_xla(self, monkeypatch):
-        from basd_tpu.spectral import nuclear_norm_pair_gram
-
-        gs, gt = self._gram_pair()
-
-        def loss(gs, gt):
-            return jnp.sum(nuclear_norm_pair_gram(gs, gt) * 1.3)
-
-        monkeypatch.setenv("BASD_TPU_NSPG", "fused_interpret")
-        vf, gf = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(gs, gt)
-        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
-        vx, gx = jax.value_and_grad(loss, argnums=(0, 1))(gs, gt)
-        np.testing.assert_allclose(float(vf), float(vx), rtol=1e-4)
-        for a, b in zip(gf, gx):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b),
-                atol=1e-3 * float(jnp.abs(b).max()),
-            )
-
-    @pytest.mark.slow
-    def test_procrustes_through_kernel(self, monkeypatch):
-        # Slow-marked (suite budget): value+grad parity rides the
-        # default-selection test_value_and_grad_match_xla; this adds only
-        # the procrustes_loss consumer wiring in interpret mode (~13 s).
-        from basd_tpu.losses.procrustes import procrustes_loss
-
-        rng = np.random.default_rng(41)
-        s = jnp.asarray(rng.normal(size=(4, 9, 16)).astype(np.float32))
-        t = jnp.asarray(rng.normal(size=(4, 9, 24)).astype(np.float32))
-        w = jnp.asarray(rng.random((4, 9)).astype(np.float32))
-
-        monkeypatch.setenv("BASD_TPU_NSPG", "fused_interpret")
-        lf, gf = jax.value_and_grad(
-            lambda s: procrustes_loss(s, t, w))(s)
-        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
-        lx, gx = jax.value_and_grad(
-            lambda s: procrustes_loss(s, t, w))(s)
-        np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
-        np.testing.assert_allclose(
-            np.asarray(gf), np.asarray(gx),
-            atol=1e-3 * float(jnp.abs(gx).max()),
-        )
-
-    def test_batch_island_under_mesh(self, monkeypatch):
-        from basd_tpu.parallel.mesh import create_mesh
-        from basd_tpu.spectral import nuclear_norm_pair_gram
-        from basd_tpu.spectral.ops import spectral_mesh
-
-        gs, gt = self._gram_pair(b=8, seed=42)
-        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
-        want = np.asarray(nuclear_norm_pair_gram(gs, gt))
-        monkeypatch.setenv("BASD_TPU_NSPG", "fused_interpret")
-        with spectral_mesh(create_mesh(data=8)):
-            got = np.asarray(jax.jit(nuclear_norm_pair_gram)(gs, gt))
-        np.testing.assert_allclose(got, want, rtol=1e-4)
-
-    def test_dispatch_gates(self, monkeypatch):
-        from basd_tpu.spectral.ops import _use_ns_pair_kernel
-
-        monkeypatch.setenv("BASD_TPU_NSPG", "fused")
-        assert _use_ns_pair_kernel((256, 197, 197))
-        assert not _use_ns_pair_kernel((4, 256, 197, 197))  # vmapped rank
-        assert not _use_ns_pair_kernel((8, 600, 600))  # beyond VMEM plan
-        monkeypatch.setenv("BASD_TPU_NSPG", "xla")
-        assert not _use_ns_pair_kernel((256, 197, 197))
-        monkeypatch.setenv("BASD_TPU_NSPG", "auto")
-        assert not _use_ns_pair_kernel((256, 197, 197))  # CPU: XLA
-
-
 class TestNuclearNormPair:
     def test_matches_svd(self):
         from basd_tpu.spectral import nuclear_norm_pair

@@ -72,36 +72,15 @@ run smoke            900 python tools/smoke_kernels.py
 #    exact producer chain once exposed an XLA:TPU miscompile
 #    (probe_warp_parity8.py) — cheap insurance on every hardware return.
 run warp             900 python tools/probe_warp_kernel.py
-run block_kernel    1200 python tools/probe_block_kernel.py
-run block_train     1200 python tools/probe_block_train.py
 run dualview        1200 python tools/probe_dualview.py
 run selector        1200 python tools/probe_selector_internals.py
 run loss_tail       1800 python tools/probe_loss_tail.py
-# 2. In-context stage profile (Table-1) — the verification-discipline
-#    gate before quoting any kernel win. Two arms: production 'auto'
-#    (measured XLA paths) vs the outage-built kernels forced on; the
-#    per-stage deltas decide which kernels flip to auto-fused.
+# 2. In-context stage profiles (regression watch; the round-5 kernel
+#    adjudication is DONE — all five outage-built kernels lost and were
+#    deleted, docs/DESIGN.md section 9 — so there are no fused arms).
 run profile_t1      2400 python tools/profile_step.py --imagenet
-run profile_t1_fused 2400 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
-    BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
-    python tools/profile_step.py --imagenet
-# MLP-only arm: in the all-fused arm the whole-BLOCK kernel subsumes the
-# MLP kernel (models/vit.py dispatch order), so the MLP kernel's own
-# in-context delta needs an arm where ONLY it is forced.
-run profile_t1_mlp  1800 env BASD_TPU_MLP=fused \
-    python tools/profile_step.py --imagenet --only "teacher forward"
-# Table-3 is latency-bound spectral work — the SUBSPACE/NSPG decisions
-# need its own in-context arms (skip the >25-min 'full loss' jit; the
-# tail is attributed by probe_loss_tail above).
 run profile_t3      1800 python tools/profile_step.py --only dual_view,teacher,student,selector
-run profile_t3_fused 1800 env BASD_TPU_BLOCK=fused BASD_TPU_MLP=fused \
-    BASD_TPU_TRAIN_BLOCK=fused BASD_TPU_SUBSPACE=fused BASD_TPU_NSPG=fused \
-    python tools/profile_step.py --only dual_view,teacher,student,selector
-run profile_t3_mlp  1200 env BASD_TPU_MLP=fused \
-    python tools/profile_step.py --only "teacher forward"
-# Machine adjudication table for the five pending kernels + policy A/Bs
-# (pure log parsing; the decision rule is pre-committed in the tool).
-run adjudicate       120 python tools/hw_summarize.py "$OUT" --adjudicate
+run summarize        120 python tools/hw_summarize.py "$OUT"
 # 3. Headlines.
 run_bench bench_t1        2400 --imagenet
 run_bench bench_t3        1800

@@ -51,8 +51,6 @@ def main():
     # BASD_PROBE_SMOKE=1: tiny shapes + interpret-mode kernels off-TPU —
     # full offline execution of the probe's code path (timings meaningless).
     smoke = os.environ.get("BASD_PROBE_SMOKE") == "1"
-    fused = ("fused_interpret"
-             if smoke and jax.default_backend() != "tpu" else "fused")
     img_size, batch, num_classes = (56, 4, 16) if smoke else (224, 256, 1000)
     teacher = load_teacher("dinov2_vitb14", img_size=img_size,
                            dtype=jnp.bfloat16)
@@ -102,20 +100,6 @@ def main():
     f_grad = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
     print(f"basd_loss fwd+bwd:   {timeit(f_grad, *largs):7.2f} ms",
           flush=True)
-
-    # env-gated A/Bs (trace-time policies; fresh jits per setting)
-    for env, vals in (
-        ("BASD_TPU_MIX_DTYPE", ("f32", "bf16")),
-        ("BASD_TPU_STUDENT_BASIS", ("iter", "eigh")),
-        # 'auto' keeps unmeasured kernels on XLA; force 'fused' to A/B
-        ("BASD_TPU_NSPG", (fused, "xla")),
-    ):
-        for val in vals:
-            os.environ[env] = val
-            fg = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
-            print(f"  f+b {env}={val}: {timeit(fg, *largs):7.2f} ms",
-                  flush=True)
-        os.environ.pop(env, None)
 
     # one optimizer update on the real student tree
     import optax

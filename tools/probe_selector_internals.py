@@ -109,27 +109,11 @@ def main():
     print(f"topk_s  : {slope(partial(topk_basis, k=k), (z_s,)):7.2f} ms",
           flush=True)
 
-    # fused forward-only subspace-iteration kernel vs the XLA chain
-    # ('auto' keeps the unmeasured kernel on XLA; force it for the A/B)
-    os.environ["BASD_TPU_SUBSPACE"] = (
-        "fused_interpret"
-        if smoke and jax.default_backend() != "tpu" else "fused")
-    from basd_tpu.spectral import topk_basis_gram_nograd
     from basd_tpu.spectral.ops import centered_gram
 
-    g_t = jax.jit(centered_gram)(z_t)
-    print(f"topk_t fused (kernel): "
-          f"{slope(partial(topk_basis_gram_nograd, k=k), (g_t,)):7.2f} ms",
-          flush=True)
-    bk, sk = jax.jit(partial(topk_basis_gram_nograd, k=k))(g_t)
-    bx, sx = jax.jit(partial(topk_basis, k=k))(z_t)
-    print("  sval relerr:",
-          float(jnp.max(jnp.abs(sk - sx) / (jnp.max(sx) + 1e-30))),
-          flush=True)
-
-    # student-basis alternatives: differentiated iteration vs full eigh
-    # (BASD_TPU_STUDENT_BASIS) — fwd AND fwd+bwd, since the eigh path's
-    # payoff is the backward (a few matmuls vs the chain's reverse sweep)
+    # student-basis alternatives: differentiated iteration vs full eigh —
+    # round-5 adjudicated (iteration won 89.2 vs 102.3 ms loss-tail f+b);
+    # the rows remain as the canonical re-measurement recipe
     from basd_tpu.spectral.ops import _eigh_desc
 
     g_s = jax.jit(centered_gram)(z_s)
