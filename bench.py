@@ -124,6 +124,14 @@ def main() -> None:
              "deviation, docs/DESIGN.md section 2)",
     )
     ap.add_argument(
+        "--batch", type=int, default=None,
+        help="override the per-chip batch (documented deviation knob: "
+             "the literal dinov2_vitl14 Table-1 teacher OOMs one 16 GB "
+             "v5e chip at the reference's b256 — its 24-layer (B, 257, "
+             "1024) token stack + fp32 selector staging was sized for "
+             "the reference's 80 GB cards; img/s/chip stays comparable)",
+    )
+    ap.add_argument(
         # hidden wiring check: shrink shapes so every arm's staging +
         # step compiles and runs ONE slope pair on the CPU backend
         # offline (JAX_PLATFORMS=cpu); numbers are meaningless
@@ -185,6 +193,10 @@ def main() -> None:
         # VALID conv; convnext stride 32 needs img >= 64)
         img_size = 32 if not (args.imagenet or args.cross_arch) else 64
         batch, n1, n2 = 8, 1, 3
+
+    if args.batch:
+        batch = args.batch
+        metric = f"{metric}_b{batch}"
 
     # self-healing Pallas dispatch: tiny-shape Mosaic smoke of every
     # kernel; a kernel that fails to compile on THIS backend is flipped
