@@ -1,7 +1,7 @@
 """Self-healing Pallas dispatch: tiny-shape Mosaic smoke-compiles.
 
 Every fused kernel in the framework ships with an XLA fallback behind an
-env-var policy (`BASD_TPU_ATTENTION`, `BASD_TPU_BLOCK`, ...). Mosaic
+env-var policy (`BASD_TPU_ATTENTION`, `BASD_TPU_WARP`, ...). Mosaic
 availability is a property of the live backend/toolchain that cannot be
 proven from a CPU test environment, so long-running entrypoints (bench,
 the driver's entry compile check) call `validate_kernel_dispatches()`
