@@ -23,7 +23,6 @@ from jax.experimental.pallas import tpu as pltpu
 from basd_tpu.spectral.jacobi import (
     _sort_desc,
     _strip_pad,
-    apply_cols,
     apply_rows,
     diag_of,
     pair_rotations,

@@ -1,7 +1,6 @@
 """Model zoo: shapes, intermediates, importance semantics, teacher bundle."""
 
 import jax
-import pytest
 import jax.numpy as jnp
 import numpy as np
 

@@ -31,7 +31,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
-from basd_tpu.losses.selector import SelectorState, init_selector, select_and_mix
+from basd_tpu.losses.selector import init_selector, select_and_mix
 from basd_tpu.spectral.ops import (
     marchenko_pastur_rank,
     masked_principal_angle_distance,
