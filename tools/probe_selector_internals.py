@@ -69,6 +69,12 @@ def main():
         l_t, b, n_t, d_t = 3, 4, 17, 48
         p, n_s, d_s = 2, 10, 24
         k = 8
+    elif "--t3" in sys.argv:
+        # Table-3 shapes (selector fwd is 9.7 of the 15.1 ms step): tiny
+        # teacher token grid (img32 dinov2 -> 2x2+CLS), calibrated k=48
+        l_t, b, n_t, d_t = 12, 128, 5, 768
+        p, n_s, d_s = 4, 65, 192
+        k = 48
     else:
         l_t, b, n_t, d_t = 12, 256, 257, 768
         p, n_s, d_s = 4, 197, 384
