@@ -121,10 +121,11 @@ def calibrate_subspace_k(
         l = tokens.shape[0]
         z_t = jnp.einsum(
             "lmd,ed->lme",
-            tokens.astype(jnp.float32).reshape(l, -1, tokens.shape[-1]),
-            proj_t,
-            # same precision as the production selector projection so the
+            # same dtype/precision chain as the production selector
+            # projection (compute-dtype tokens, f32 accumulation) so the
             # measured ranks size K against the numerics that will run
+            tokens.reshape(l, -1, tokens.shape[-1]),
+            proj_t.astype(tokens.dtype),
             precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
@@ -165,16 +166,25 @@ def select_and_mix(
     # non-differentiable Pallas eigvals path.
     proj_t = jax.lax.stop_gradient(state.proj_t)
     proj_s = jax.lax.stop_gradient(state.proj_s)
+    # Consume the teacher tokens in their COMPUTE dtype (bf16 on TPU;
+    # f32 in the CPU parity suites): the projection einsum accumulates
+    # in f32, so this is exactly the reference's contract — its hooks
+    # capture autocast-bf16 activations and torch.linalg upcasts from
+    # there (layer_selector.py:69-76). A `.astype(f32)` here would
+    # MATERIALIZE the (L, B*N_t, D_t) stack in fp32 first (6.5 GB for
+    # the 24-layer ViT-L/14 teacher at b256 — the round-5 OOM) and pay
+    # 3x matmul passes (bf16x3) for precision the downstream MP
+    # ranks/subspaces never relied on: the noise floor MP estimates is
+    # a property of the (already bf16-rounded) tokens themselves, and
+    # subspace_k calibration measures ranks through this same einsum.
     t_flat = jax.lax.stop_gradient(
-        teacher_tokens.astype(jnp.float32).reshape(l, b * n_t, d_t)
+        teacher_tokens.reshape(l, b * n_t, d_t)
     )
-    # bf16x3 for the big data-side projections — strictly above the
-    # reference's bf16-autocast matmul contract at half the HIGHEST cost
-    # (see spectral/ops.py `_DATA`)
     z_t = jnp.einsum(
-        "lmd,ed->lme", t_flat, proj_t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH
-    )  # (L, M_t, D_s)
+        "lmd,ed->lme", t_flat, proj_t.astype(t_flat.dtype),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )  # (L, M_t, D_s) f32
 
     # ONE Gram reduction over the M = B*N samples serves both the MP
     # ranks (uncentered cov = G/M) and the subspace extraction (centered
