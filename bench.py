@@ -125,11 +125,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--batch", type=int, default=None,
-        help="override the per-chip batch (documented deviation knob: "
-             "the literal dinov2_vitl14 Table-1 teacher OOMs one 16 GB "
-             "v5e chip at the reference's b256 — its 24-layer (B, 257, "
-             "1024) token stack + fp32 selector staging was sized for "
-             "the reference's 80 GB cards; img/s/chip stays comparable)",
+        help="override the per-chip batch (img/s/chip stays comparable; "
+             "since the bf16 selector staging the literal dinov2_vitl14 "
+             "Table-1 teacher fits one 16 GB v5e chip at the reference's "
+             "b256 — the old OOM was the selector materializing the "
+             "24-layer (B, 257, 1024) token stack in fp32)",
     )
     ap.add_argument(
         # hidden wiring check: shrink shapes so every arm's staging +
