@@ -127,7 +127,21 @@ def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     the VMEM-resident Pallas kernel solves the whole batch in parallel
     (2.4x faster at (48, 96, 96)). CPU and oversized batches fall back to
     LAPACK/XLA. Multi-device meshes route through a replicated shard_map
-    island (`_replicated_island`) instead of being disabled."""
+    island (`_replicated_island`) instead of being disabled.
+
+    The n <= 96 cap is an ACCURACY boundary, not (only) a perf one: the
+    kernel runs a fixed sweeps=6 cyclic schedule whose fp32-floor
+    convergence is measured at n <= 96 (tools/tune_spectral.py, real token
+    Grams), while at n = 192 it is demonstrably under-converged —
+    eig_err ~1e-3, weighted-principal-angle d2_err ~2e-3 vs the 1.3e-4
+    LAPACK64 floor reached at sweeps >= 9 (tools/probe_jacobi_sweeps.py,
+    v5e, 2026-08-19). Raising sweeps is strictly worse than XLA's eigh
+    there: the kernel is bound by the serial (n-1)*sweeps rotation-trip
+    chain (~43 us/trip, flat across grid/chunk), so sweeps=9 costs ~+13 ms
+    while the XLA flip measured FASTER in the full Table-1 step (364.1 vs
+    370.5 ms, loss drift 1e-4 — in-context step-ablation A/B at HEAD,
+    BASD_TPU_JACOBI=xla, 2026-08-19). Above the cap LAPACK-grade accuracy
+    and in-context speed point the same way."""
     if os.environ.get("BASD_TPU_DISABLE_PALLAS"):
         return False
     if os.environ.get("BASD_TPU_JACOBI") == "xla":  # per-kernel escape hatch
@@ -141,9 +155,11 @@ def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     b = 1
     for d in shape[:-2]:
         b *= d
-    # large batches are chunked over the pallas grid; n is capped where the
-    # sequential sweep count stops beating XLA's eigh
-    return 16 <= n <= 448 and b >= 4
+    # large batches are chunked over the pallas grid; n is capped at the
+    # measured sweeps=6 fp32-floor boundary (docstring above). Production
+    # shapes: t3 angles K=48 / t2 K=72 / svdvals m=65 stay Pallas; t1/vitl
+    # angles K=192/184 and 197-token svdvals Grams go to XLA eigh.
+    return 16 <= n <= 96 and b >= 4
 
 
 @jax.custom_jvp
@@ -163,10 +179,12 @@ def _eigh_safe(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     if _use_pallas_jacobi(a.shape):
         from basd_tpu.spectral.pallas_jacobi import pallas_jacobi_eigh
 
-        # sweeps=6: measured convergence plateau on real token Grams —
-        # principal-angle distances match sweeps=9 to ~2e-6 and eigenvalue
-        # error sits at the fp32 floor (tools/tune_spectral.py, v5e:
-        # 4.6 ms vs 7.0 ms at (48, 96, 96)).
+        # sweeps=6: measured convergence plateau on real token Grams AT THE
+        # DISPATCHED SIZES (n <= 96) — principal-angle distances match
+        # sweeps=9 to ~2e-6 and eigenvalue error sits at the fp32 floor
+        # (tools/tune_spectral.py, v5e: 4.6 ms vs 7.0 ms at (48, 96, 96)).
+        # Larger n is under-converged at 6 sweeps and is routed to XLA by
+        # `_use_pallas_jacobi` (see its docstring for the n=192 evidence).
         solver = _replicated_island(
             partial(pallas_jacobi_eigh, sweeps=6, interpret=_pallas_interpret())
         )
