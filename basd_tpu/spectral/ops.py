@@ -139,7 +139,7 @@ def _use_pallas_jacobi(shape: tuple[int, ...]) -> bool:
     there: the kernel is bound by the serial (n-1)*sweeps rotation-trip
     chain (~43 us/trip, flat across grid/chunk), so sweeps=9 costs ~+13 ms
     while the XLA flip measured FASTER in the full Table-1 step (364.1 vs
-    370.5 ms, loss drift 1e-4 — in-context step-ablation A/B at HEAD,
+    370.5 ms, loss drift 1e-3 — in-context step-ablation A/B at HEAD,
     BASD_TPU_JACOBI=xla, 2026-08-19). Above the cap LAPACK-grade accuracy
     and in-context speed point the same way."""
     if os.environ.get("BASD_TPU_DISABLE_PALLAS"):

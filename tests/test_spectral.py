@@ -541,3 +541,55 @@ class TestNuclearNormPairGram:
         v = np.asarray(nuclear_norm_pair_gram(gs, gt))
         assert np.all(np.isfinite(v))
         assert np.all(np.abs(v) < 1e-3)
+
+
+class TestJacobiDispatchCap:
+    """Pin the `_use_pallas_jacobi` routing boundary (docs/DESIGN.md: the
+    round-5 accuracy adjudication capped the kernel at the measured
+    sweeps=6 fp32-floor domain; both sides were confirmed by in-context
+    step A/Bs — Pallas wins at t3's n=48, XLA wins at t1's n=192)."""
+
+    def _routed(self, shape, monkeypatch):
+        from basd_tpu.spectral import ops
+
+        # neutralize the CPU fallback so the shape policy itself is tested
+        monkeypatch.setenv("BASD_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.delenv("BASD_TPU_JACOBI", raising=False)
+        monkeypatch.delenv("BASD_TPU_DISABLE_PALLAS", raising=False)
+        return ops._use_pallas_jacobi(shape)
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (48, 48, 48),   # t3 angles (P*L, K, K)
+            (12, 72, 72),   # t2 angles K
+            (4, 65, 65),    # t3 token-Gram svdvals
+            (48, 96, 96),   # the tune_spectral measurement point itself
+        ],
+    )
+    def test_production_pallas_shapes(self, shape, monkeypatch):
+        assert self._routed(shape, monkeypatch)
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (48, 192, 192),  # t1 angles — under-converged at sweeps=6
+            (24, 184, 184),  # vitl angles
+            (4, 197, 197),   # 197-token svdvals Grams
+            (48, 97, 97),    # first size past the measured floor boundary
+            (2, 48, 48),     # batch too small for the batch-parallel win
+            (3, 8, 8),       # below the minimum tile
+        ],
+    )
+    def test_xla_shapes(self, shape, monkeypatch):
+        assert not self._routed(shape, monkeypatch)
+
+    def test_kill_switches(self, monkeypatch):
+        from basd_tpu.spectral import ops
+
+        monkeypatch.setenv("BASD_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("BASD_TPU_JACOBI", "xla")
+        assert not ops._use_pallas_jacobi((48, 48, 48))
+        monkeypatch.delenv("BASD_TPU_JACOBI")
+        monkeypatch.setenv("BASD_TPU_DISABLE_PALLAS", "1")
+        assert not ops._use_pallas_jacobi((48, 48, 48))
