@@ -593,3 +593,33 @@ class TestJacobiDispatchCap:
         monkeypatch.delenv("BASD_TPU_JACOBI")
         monkeypatch.setenv("BASD_TPU_DISABLE_PALLAS", "1")
         assert not ops._use_pallas_jacobi((48, 48, 48))
+
+
+class TestTopkBatchConcatParity:
+    def test_concat_batch_is_exact(self):
+        """Every op in the subspace iteration is per-matrix, so batching
+        two Gram stacks into one call must reproduce the separate calls
+        bit-exactly. (Property relied on by the round-5 chain-merge A/B —
+        the merge itself measured neutral-to-negative in-context and was
+        not shipped, docs/DESIGN.md section 9 — and by any future batch
+        regrouping.)"""
+        from basd_tpu.spectral import topk_basis_gram
+
+        rng = np.random.default_rng(7)
+        d, k = 64, 24
+        def psd(b, seed):
+            r = np.random.default_rng(seed)
+            x = r.normal(size=(b, 100, d)).astype(np.float32)
+            xc = x - x.mean(axis=1, keepdims=True)
+            return np.einsum("bmd,bme->bde", xc, xc)
+        g_t = jnp.asarray(psd(5, 1))
+        g_s = jnp.asarray(psd(3, 2))
+
+        b_t, s_t = topk_basis_gram(g_t, k)
+        b_s, s_s = topk_basis_gram(g_s, k)
+        b_all, s_all = topk_basis_gram(jnp.concatenate([g_t, g_s]), k)
+
+        np.testing.assert_array_equal(np.asarray(b_all[:5]), np.asarray(b_t))
+        np.testing.assert_array_equal(np.asarray(s_all[:5]), np.asarray(s_t))
+        np.testing.assert_array_equal(np.asarray(b_all[5:]), np.asarray(b_s))
+        np.testing.assert_array_equal(np.asarray(s_all[5:]), np.asarray(s_s))
