@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from basd_tpu.models import (
     ConvNeXt,
@@ -116,6 +117,10 @@ class TestCNN:
             np.asarray(out.importance), 1.0 / n, atol=1e-7
         )
 
+    @pytest.mark.slow  # ~24 s on the 1-core host; suite-budget trim
+    # (VERDICT r4 weak #5). The ConvNeXt TEACHER path keeps default-suite
+    # coverage via test_train_step.py::test_cnn_teacher_cross_arch and the
+    # cross-arch parity suite; this is the arch-unit variant.
     def test_convnext_tokens(self):
         model = ConvNeXt(
             ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
